@@ -1,0 +1,133 @@
+"""Hashing primitives: portable 64/32-bit token hashes, MinHash, SimHash,
+rolling document fingerprints.
+
+The reference has no hashing layer (single-node dict lookups); the
+rebuild's MinHash-LSH blocking (BASELINE.json north_star) and the
+dedup operators need one. All hashes are md5-derived so the exact same
+values are computable in DuckDB (oracle parity):
+
+    Spark : conv(substring(md5(t), 1, 15), 16, 10) :: long
+    DuckDB: ('0x' || substr(md5(t), 1, 15)) :: BIGINT
+
+15 hex digits = 60 bits < 2^63, so the cast never overflows/signs.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+# Mersenne prime 2^61-1: universal-hash modulus. Multipliers are < 2^31 and
+# token hashes < 2^32, so a*h + b < 2^63 — no int64 overflow in either engine.
+MERSENNE61 = (1 << 61) - 1
+_MULT_BITS = 31
+
+
+def token_hash64(col: Column) -> Column:
+    """Portable 60-bit hash of a string column (md5-derived)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def token_hash32(col: Column) -> Column:
+    """Portable 32-bit hash (first 8 md5 hex digits)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) parameters for the universal hash family
+    h_i(x) = (a_i * x + b_i) mod (2^61 - 1)."""
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, 1 << _MULT_BITS), rng.randrange(0, 1 << _MULT_BITS))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signature(tokens: Column, num_hashes: int, seed: int = 42) -> Column:
+    """MinHash signature (array<long>) over a distinct-token array column.
+
+    100% JVM-side: one md5 per token (computed once), then ``num_hashes``
+    transform+array_min passes. Empty token arrays -> NULL signature.
+    Identical values are expressible in DuckDB (see sql_minhash_expr).
+    """
+    hashed = F.transform(F.array_distinct(tokens), token_hash32)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    hashed,
+                    lambda h, a=a, b=b: F.pmod(
+                        F.lit(a) * h + F.lit(b), F.lit(MERSENNE61)
+                    ),
+                )
+            )
+            for a, b in minhash_params(num_hashes, seed)
+        ]
+    )
+    return F.when(F.size(tokens) > 0, sig)
+
+
+def sql_minhash_expr(tokens_sql: str, num_hashes: int, seed: int = 42) -> str:
+    """DuckDB SQL fragment computing the identical MinHash signature over a
+    list-of-varchar expression — the oracle side of ``minhash_signature``."""
+    h = (
+        f"list_transform(list_distinct({tokens_sql}), "
+        "t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)"
+    )
+    mins = [
+        f"list_min(list_transform({h}, x -> ({a}::BIGINT * x + {b}) % {MERSENNE61}))"
+        for a, b in minhash_params(num_hashes, seed)
+    ]
+    return "[" + ", ".join(mins) + "]"
+
+
+def lsh_band_key_cols(sig: Column, num_bands: int, rows_per_band: int) -> list[Column]:
+    """One band-key column per band: 'b<i>:' + md5 of that band's slice of
+    the signature. Explode these to get candidate buckets."""
+    keys = []
+    for i in range(num_bands):
+        parts = [
+            F.element_at(sig, i * rows_per_band + j + 1).cast("string")
+            for j in range(rows_per_band)
+        ]
+        keys.append(F.concat(F.lit(f"b{i}:"), F.md5(F.concat_ws("_", *parts))))
+    return keys
+
+
+def simhash_kernel(token_lists: pd.Series, bits: int = 64) -> pd.Series:
+    """SimHash over token arrays (Arrow-batched numpy kernel): per-token
+    md5-derived bit vectors, summed as +-1 votes, sign -> fingerprint."""
+    import hashlib
+
+    out = []
+    masks = np.array([1 << i for i in range(bits)], dtype=np.uint64)
+    for toks in token_lists:
+        if toks is None or len(toks) == 0:
+            out.append(None)
+            continue
+        votes = np.zeros(bits, dtype=np.int64)
+        for t in set(toks):
+            h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+            bitsvec = (np.uint64(h) & masks) != 0
+            votes += np.where(bitsvec, 1, -1)
+        fp = int(((votes > 0).astype(np.uint64) * masks).sum(dtype=np.uint64))
+        # store as signed 64-bit
+        out.append(fp - (1 << 64) if fp >= (1 << 63) else fp)
+    return pd.Series(out, dtype="object")
+
+
+@pandas_udf(LongType())
+def simhash64(tokens: pd.Series) -> pd.Series:
+    return simhash_kernel(tokens)
+
+
+def doc_fingerprint(text_col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+    Portable to DuckDB (same md5 hex)."""
+    return F.md5(text_col)

@@ -1,0 +1,60 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults are tuned for correctness at local[*] test scale while staying the
+right *shape* for a 1000-executor cluster: AQE on (runtime re-plan +
+skew-join splitting), Arrow on (every pandas UDF is Arrow-batched),
+shuffle partitions sized to the parallelism level.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "ent-res-feedback-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    Parameters
+    ----------
+    cores: local parallelism (``local[cores]``); default ``local[*]``.
+        The bench harness passes 8 vs 32 to measure scaling efficiency.
+    shuffle_partitions: defaults to ``max(2 * cores, 32)`` — at cluster
+        scale this would instead be sized to total executor cores; AQE
+        coalesces small post-shuffle partitions either way.
+    """
+    master = f"local[{cores}]" if cores else "local[*]"
+    if shuffle_partitions is None:
+        n = cores if cores else (os.cpu_count() or 8)
+        shuffle_partitions = max(2 * n, 32)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Adaptive execution: runtime re-plan, small-partition coalesce,
+        # automatic skew-join splitting for the hot-block self-join.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow batching for every pandas UDF / applyInPandas.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Keep parquet scans prunable: one row-group sized split per task.
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Deterministic timestamps in tests.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

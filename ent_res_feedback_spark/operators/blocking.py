@@ -1,0 +1,81 @@
+"""Blocking operators (SURVEY.md §2.3, B1-B4).
+
+The reference materializes ``Dict[block_key -> List[signature_id]]``
+(s2and/data.py:727-774); in Spark a block is just a key column — grouping
+is implicit and never materialized. This module adds:
+
+- the S2 first-initial+last-name key (B1, via functions.text.compute_block_key)
+- block census / min-size filter (B3, reference model.py:115-142)
+- MinHash-LSH band keys over span text (B4, the north-star blocking key)
+- the block-size census that drives skew salting in operators/pairs.py
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ent_res_feedback_spark.functions import hashing
+from ent_res_feedback_spark.functions.text import compute_block_key  # noqa: F401
+
+
+def block_census(df: DataFrame, key: str = "block_key") -> DataFrame:
+    """B3/A9 — per-block sizes and implied pair counts
+    (reference e2e_scripts/preprocess_s2and_data.py:54-67). One shuffle;
+    the result is small (one row per distinct key) and broadcastable."""
+    return df.groupBy(key).agg(
+        F.count(F.lit(1)).alias("block_size"),
+        (F.count(F.lit(1)) * (F.count(F.lit(1)) - 1) / 2).cast("long").alias("n_pairs"),
+    )
+
+
+def filter_min_block_size(
+    df: DataFrame, key: str = "block_key", min_size: int = 2
+) -> DataFrame:
+    """B3 — drop blocks smaller than ``min_size`` (singleton blocks produce
+    no pairs; reference model.py:115-142). Census is broadcast back so the
+    big side is filtered without a second wide shuffle."""
+    census = block_census(df, key).where(F.col("block_size") >= min_size)
+    return df.join(F.broadcast(census.select(key)), key, "inner")
+
+
+def tokenize(col, pattern: str = r"\s+"):
+    """Distinct non-empty tokens of a text column (JVM-side)."""
+    return F.array_distinct(
+        F.filter(F.split(col, pattern), lambda t: F.length(t) > 0)
+    )
+
+
+def add_minhash_band_keys(
+    df: DataFrame,
+    text_col: str,
+    num_bands: int = 4,
+    rows_per_band: int = 4,
+    seed: int = 42,
+    out: str = "band_key",
+) -> DataFrame:
+    """B4 — MinHash-LSH blocking keys (north-star blocking).
+
+    tokens -> portable md5 minhash signature (JVM-side, see
+    functions/hashing.py) -> ``num_bands`` band keys -> posexplode so each
+    doc lands in one candidate bucket per band. Downstream all-pairs within
+    a band key is the LSH candidate set; dedup pairs across bands with the
+    canonical (sid1<sid2) + distinct.
+    """
+    sig = hashing.minhash_signature(
+        tokenize(F.col(text_col)), num_bands * rows_per_band, seed
+    )
+    bands = F.array(*hashing.lsh_band_key_cols(sig, num_bands, rows_per_band))
+    return df.withColumn("_bands", bands).select(
+        "*", F.explode("_bands").alias(out)
+    ).drop("_bands")
+
+
+def hot_blocks(
+    census: DataFrame, salt_threshold: int, key: str = "block_key"
+) -> DataFrame:
+    """Blocks whose size exceeds the salting threshold. Small by
+    construction (there are few hot keys); always broadcastable."""
+    return census.where(F.col("block_size") > salt_threshold).select(
+        key, "block_size"
+    )

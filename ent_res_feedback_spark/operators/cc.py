@@ -1,0 +1,197 @@
+"""Transitive clustering: iterative large-star/small-star connected
+components with per-iteration checkpointing and exact resume
+(SURVEY.md CL6; north rule "resumable from checkpoint").
+
+Algorithm: the alternating large-star/small-star method (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — converges in
+O(log^2 n) rounds (O(log n) in practice), each round two shuffles:
+
+  large-star: for each node u, connect every strictly-larger neighbor to
+              the minimum of u's closed neighborhood.
+  small-star: direct edges large->small; connect all smaller-or-equal
+              neighbors (and u) to the minimum.
+
+The edge list is the only state, so each iteration is checkpointed by
+writing it to parquet (production: an Iceberg table — this container has
+no Iceberg runtime, so the store writes parquet + an atomic JSON manifest
+with the same replace semantics). Checkpointing both truncates the
+DataFrame lineage (no exponential plan growth) and provides exact resume:
+killing the job mid-iteration and re-running reproduces identical
+clusters, which tests/test_cc.py asserts.
+
+Cluster ids are the component-minimum node id — deterministic, no
+monotonically_increasing_id anywhere.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _sym(edges: DataFrame) -> DataFrame:
+    """Undirected view: both directions, no self loops."""
+    fwd = edges.select("src", "dst")
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return fwd.unionByName(rev).where(F.col("src") != F.col("dst"))
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    nbrs = _sym(edges)
+    mins = nbrs.groupBy("src").agg(
+        F.least(F.min("dst"), F.col("src")).alias("m")
+    )
+    out = (
+        nbrs.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    return out.where(F.col("src") != F.col("dst")).distinct()
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    # direct each edge from the larger to the smaller endpoint
+    directed = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    mins = directed.groupBy("src").agg(F.min("dst").alias("m"))
+    nbr_edges = (
+        directed.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    self_edges = mins.select("src", F.col("m").alias("dst"))
+    return (
+        nbr_edges.unionByName(self_edges)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    # order-insensitive content hash; decimal sum to survive ANSI overflow
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+class CheckpointStore:
+    """Parquet + atomic-manifest checkpoint store (Iceberg stand-in).
+
+    Layout: ``<root>/iter=<i>/`` parquet dirs plus ``<root>/manifest.json``
+    written via rename for atomicity. ``latest()`` returns the newest
+    *complete* iteration, so a kill between parquet write and manifest
+    commit falls back to the previous iteration — the Iceberg snapshot
+    semantics this stands in for.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self.manifest_path = os.path.join(root, "manifest.json")
+
+    def _read_manifest(self) -> dict:
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as f:
+                return json.load(f)
+        return {"iterations": []}
+
+    def latest(self) -> dict | None:
+        m = self._read_manifest()
+        return m["iterations"][-1] if m["iterations"] else None
+
+    def write(self, edges: DataFrame, iteration: int, meta: dict | None = None) -> DataFrame:
+        path = os.path.join(self.root, f"iter={iteration}")
+        edges.write.mode("overwrite").parquet(path)
+        manifest = self._read_manifest()
+        manifest["iterations"] = [
+            it for it in manifest["iterations"] if it["iter"] < iteration
+        ]
+        manifest["iterations"].append(
+            {"iter": iteration, "path": path, "ts": time.time(), **(meta or {})}
+        )
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self.manifest_path)
+        return self.spark.read.parquet(path)
+
+
+def connected_components(
+    edges: DataFrame,
+    checkpoint_dir: str | None = None,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Compute connected components of an undirected edge list
+    (columns ``src``, ``dst``) -> assignments ``(id, component)`` where
+    component = min node id of the component. Nodes appearing only in
+    self-contexts (no edges) are the caller's concern (left-join the
+    result onto the full node set; singletons keep their own id).
+
+    With ``checkpoint_dir`` each iteration persists to the store and the
+    loop RESUMES from the latest complete iteration if one exists.
+    """
+    spark = edges.sparkSession
+    store = CheckpointStore(spark, checkpoint_dir) if checkpoint_dir else None
+
+    # id type is generic (string or numeric) — the algorithm only needs a
+    # total order; component id = the minimum under that order.
+    cur = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+
+    start_iter = 0
+    prev_sum: tuple[int, int] | None = None
+    if store is not None:
+        latest = store.latest()
+        if latest is not None:
+            cur = spark.read.parquet(latest["path"])
+            start_iter = latest["iter"] + 1
+            prev_sum = (latest["n"], latest["h"]) if "n" in latest else None
+        else:
+            cur = store.write(cur, -1)  # iteration -1 = canonicalized input
+            start_iter = 0
+    else:
+        cur = cur.localCheckpoint()
+
+    for i in range(start_iter, max_iterations):
+        nxt = _small_star(_large_star(cur))
+        if store is not None:
+            n, h = _checksum(nxt)
+            nxt = store.write(nxt, i, {"n": n, "h": h})
+        else:
+            nxt = nxt.localCheckpoint()
+            n, h = _checksum(nxt)
+        if prev_sum == (n, h):
+            cur = nxt
+            break
+        prev_sum = (n, h)
+        cur = nxt
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} iterations"
+        )
+
+    # At fixpoint the small-star output is a star: (node -> component min).
+    assign = _sym(cur).groupBy("src").agg(F.min("dst").alias("component"))
+    assign = assign.select(
+        F.col("src").alias("id"),
+        F.least("component", "src").alias("component"),
+    )
+    return assign
+
+
+def components_with_singletons(
+    assignments: DataFrame, nodes: DataFrame, id_col: str
+) -> DataFrame:
+    """Left-join CC assignments onto the full node set; edge-less nodes
+    become singleton clusters keyed by their own id."""
+    return nodes.join(
+        assignments.withColumnRenamed("id", id_col), id_col, "left"
+    ).withColumn("component", F.coalesce("component", F.col(id_col)))

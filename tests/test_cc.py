@@ -1,0 +1,106 @@
+"""Connected components: correctness vs a union-find oracle on random
+graphs, determinism, and exact checkpoint resume (the north rule's
+resumability requirement)."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from ent_res_feedback_spark.operators.cc import (
+    CheckpointStore,
+    components_with_singletons,
+    connected_components,
+)
+from ent_res_feedback_spark.oracle import UnionFind
+
+
+def _oracle_components(edges, nodes):
+    uf = UnionFind()
+    for n in nodes:
+        uf.find(n)
+    for s, d in edges:
+        uf.union(s, d)
+    comp = {}
+    for n in nodes:
+        comp[n] = uf.find(n)
+    # canonical: min member id
+    groups = {}
+    for n, c in comp.items():
+        groups.setdefault(c, []).append(n)
+    return {n: min(g) for c, g in groups.items() for n in g}
+
+
+@pytest.mark.parametrize("seed,n,m", [(1, 50, 40), (2, 200, 150), (3, 120, 300)])
+def test_cc_matches_union_find(spark, seed, n, m):
+    rng = random.Random(seed)
+    nodes = list(range(n))
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+    edges = [(s, d) for s, d in edges if s != d]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(edf).collect()
+    }
+    want = _oracle_components(edges, nodes)
+    touched = {x for e in edges for x in e}
+    assert {k: want[k] for k in touched} == got
+
+
+def test_cc_string_ids(spark):
+    edges = [("d3", "d1"), ("d1", "d2"), ("d9", "d8")]
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["id"]: r["component"] for r in connected_components(edf).collect()}
+    assert got == {"d1": "d1", "d2": "d1", "d3": "d1", "d8": "d8", "d9": "d8"}
+
+
+def test_singletons(spark):
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    nodes = spark.createDataFrame([("a",), ("b",), ("z",)], ["doc_id"])
+    out = components_with_singletons(
+        connected_components(edges), nodes, "doc_id"
+    )
+    got = {r["doc_id"]: r["component"] for r in out.collect()}
+    assert got == {"a": "a", "b": "a", "z": "z"}
+
+
+def test_checkpoint_resume_identical(spark, tmp_path):
+    """Kill-and-resume: run once with checkpointing, then simulate a crash
+    by truncating the manifest to an early iteration and re-running — the
+    resumed run must produce identical clusters (exact resume)."""
+    rng = random.Random(7)
+    edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(260)]
+    edf = spark.createDataFrame(edges, "src long, dst long").where("src != dst")
+
+    full_dir = str(tmp_path / "full")
+    full = {
+        r["id"]: r["component"]
+        for r in connected_components(edf, checkpoint_dir=full_dir).collect()
+    }
+
+    # fresh run, interrupted after iteration 0: keep iter=-1 and iter=0 only
+    crash_dir = str(tmp_path / "crash")
+    connected_components(edf, checkpoint_dir=crash_dir)
+    store = CheckpointStore(spark, crash_dir)
+    manifest = store._read_manifest()
+    manifest["iterations"] = [it for it in manifest["iterations"] if it["iter"] <= 0]
+    import json
+
+    with open(store.manifest_path, "w") as f:
+        json.dump(manifest, f)
+
+    resumed = {
+        r["id"]: r["component"]
+        for r in connected_components(edf, checkpoint_dir=crash_dir).collect()
+    }
+    assert resumed == full
+
+
+def test_cc_path_graph_converges(spark):
+    # worst-ish case: a long path; must converge well under max_iterations
+    n = 200
+    edges = [(i, i + 1) for i in range(n - 1)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["component"] for r in connected_components(edf).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == n

@@ -32,7 +32,8 @@ import random
 from dataclasses import dataclass
 
 FIRST_NAMES = [
-    "alan", "alice", "andrei", "anna", "boris", "carol", "chen", "david",
+    "alan", "alice", "andrei", "anna", "amir", "ahmed", "adrian", "aisha",
+    "amelia", "anton", "arthur", "abram", "boris", "carol", "chen", "david",
     "elena", "fatima", "george", "hiro", "irene", "jose", "kavya", "liang",
     "maria", "nikolai", "omar", "priya", "qing", "rahul", "sara", "tomas",
     "uma", "viktor", "wei", "xin", "yuki", "zara",
@@ -43,11 +44,15 @@ LAST_NAMES = [
     "kowalski", "okafor", "haddad", "nguyen", "silva", "oconnor", "abdul",
     "tanaka", "rossi", "dubois", "larsen", "novak", "petrov",
 ]
-AFFIL_WORDS = [
-    "computer science", "physics department", "applied mathematics",
-    "biology institute", "chemistry lab", "statistics group",
-    "machine learning center", "data systems group",
+AFFIL_DEPTS = [
+    "computer", "physics", "mathematics", "biology", "chemistry",
+    "statistics", "linguistics", "economics", "neuroscience", "astronomy",
+    "geology", "robotics", "genomics", "materials", "oceanography", "ecology",
 ]
+AFFIL_KINDS = ["science", "engineering", "studies", "systems", "theory",
+               "methods", "informatics", "analytics"]
+AFFIL_CODES = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+               "theta", "iota", "kappa"]
 TITLE_WORDS = [
     "learning", "systems", "networks", "analysis", "clustering", "models",
     "inference", "graphs", "optimization", "retrieval", "resolution",
@@ -68,12 +73,12 @@ class CorpusConfig:
 def _variant_first(rng: random.Random, first: str) -> str:
     """Synonym noise for first names (same entity, different surface)."""
     roll = rng.random()
-    if roll < 0.25:
+    if roll < 0.20:
         return first[0]  # initial only
-    if roll < 0.35 and len(first) > 3:
+    if roll < 0.30 and len(first) > 3:
         return first[0] + "'" + first[1:]  # apostrophe variant
-    if roll < 0.45:
-        return "Dr " + first  # honorific (normalization strips via prefix rule? kept as text noise)
+    if roll < 0.40:
+        return "Dr " + first  # honorific, stripped by the mention extractor
     return first
 
 
@@ -90,18 +95,30 @@ def generate_corpus(config: CorpusConfig | None = None):
     entities = []
     hot_last = LAST_NAMES[0]
     hot_first_initial = FIRST_NAMES[0][0]
+    hot_pool = [f for f in FIRST_NAMES if f[0] == hot_first_initial]
+    rng.shuffle(hot_pool)
+    used_names: set[tuple[str, str]] = set()
     for e in range(cfg.n_entities):
         if e < cfg.hot_block_entities:
-            # homonyms: same block (first initial + last name), distinct people
-            first = rng.choice(
-                [f for f in FIRST_NAMES if f[0] == hot_first_initial]
-            )
+            # homonyms share the BLOCK (first initial + last name) but not
+            # the full first name (reference dummy fixture pattern:
+            # ahmed/amir sattar in block "a sattar")
+            first = hot_pool[e % len(hot_pool)]
             last = hot_last
         else:
-            first = rng.choice(FIRST_NAMES)
-            last = rng.choice(LAST_NAMES[1:])
+            while True:
+                first = rng.choice(FIRST_NAMES)
+                last = rng.choice(LAST_NAMES[1:])
+                if (first, last) not in used_names:
+                    break
+        used_names.add((first, last))
         middle = rng.choice(MIDDLE_NAMES)
-        affil = rng.choice(AFFIL_WORDS)
+        # 3-token affiliation: 1280 combos -> cross-entity collisions are
+        # rare even inside the hot block, so affiliation can separate
+        # same-name homonyms (the scorer's homonym defense)
+        affil = " ".join(
+            [rng.choice(AFFIL_DEPTS), rng.choice(AFFIL_KINDS), rng.choice(AFFIL_CODES)]
+        )
         entities.append(
             {"eid": e, "first": first, "middle": middle, "last": last, "affil": affil}
         )
@@ -119,7 +136,7 @@ def generate_corpus(config: CorpusConfig | None = None):
             first = _variant_first(rng, ent["first"])
             middle = ent["middle"] if rng.random() > 0.3 else ""
             name = " ".join(p for p in [first, middle, ent["last"]] if p)
-            affil = ent["affil"] if rng.random() > 0.2 else ""
+            affil = ent["affil"] if rng.random() > 0.1 else ""
             title = " ".join(rng.sample(TITLE_WORDS, 4))
             spans = [
                 ("text", name, None, 0),
@@ -136,17 +153,13 @@ def generate_corpus(config: CorpusConfig | None = None):
             gold.append((doc_id, f"e{ent['eid']}"))
 
     # labeled pairs: all within-block pairs under the reference blocking key
-    # (first-initial + last name on the normalized name span)
-    from ent_res_feedback_spark.oracle import normalize_name_py, block_key_py
+    # (first-initial + last name on the normalized, honorific-stripped name)
+    from ent_res_feedback_spark.oracle import extract_mention_py
 
     by_block: dict[str, list[str]] = {}
     gold_map = dict(gold)
-    name_of = {
-        d["doc_id"]: next(s[1] for s in d["spans"] if s[0] == "text")
-        for d in documents
-    }
-    for doc_id, name in name_of.items():
-        by_block.setdefault(block_key_py(normalize_name_py(name)), []).append(doc_id)
+    for d in documents:
+        by_block.setdefault(extract_mention_py(d)["block"], []).append(d["doc_id"])
     labeled_pairs = []
     for bk, ids in sorted(by_block.items()):
         ids = sorted(ids)

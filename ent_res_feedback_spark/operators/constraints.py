@@ -1,0 +1,165 @@
+"""Deterministic constraints that override the model (SURVEY.md §2.6).
+
+Reference: ``ANDData.get_constraint`` (s2and/data.py:776-891) — a
+precedence chain returning distance 0 (require) / 1e4 (disallow) / None.
+Re-expressed as ONE ``when(...).when(...).otherwise(null)`` column
+expression, evaluated BEFORE the expensive scoring UDFs so constrained
+pairs can skip featurization (the reference's short-circuit,
+model.py:169-187; here a cheap filter below the pandas UDF — C2).
+
+Seed constraints arrive as a small DataFrame
+``seeds(doc_id_1, doc_id_2, kind)`` with kind in {'require','disallow'}
+(FIXTURES.md §5) and are folded in via a broadcast left-join; the seed
+pair is canonicalized (id1<id2) to cover both orientations
+(reference checks both, data.py:828-831).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ent_res_feedback_spark.operators.features import middle_compatible
+
+LOW_DISTANCE = 0.0        # 'require'  (reference consts.py:43)
+LARGE_DISTANCE = 1e4      # 'disallow'
+
+
+def _starts_with_either(a: Column, b: Column) -> Column:
+    return a.startswith(b) | b.startswith(a)
+
+
+def join_seed_constraints(pairs: DataFrame, seeds: DataFrame | None) -> DataFrame:
+    """Broadcast-join seed require/disallow onto the pair frame as columns
+    ``seed_require``/``seed_disallow`` (booleans). Also derives the
+    cross-seed disallow: both sides seeded into DIFFERENT require-groups
+    (reference data.py:837-842)."""
+    if seeds is None:
+        return pairs.withColumn("seed_require", F.lit(False)).withColumn(
+            "seed_disallow", F.lit(False)
+        ).withColumn("cross_seed_disallow", F.lit(False))
+
+    canon = seeds.select(
+        F.least("doc_id_1", "doc_id_2").alias("doc_id_1"),
+        F.greatest("doc_id_1", "doc_id_2").alias("doc_id_2"),
+        "kind",
+    )
+    flags = canon.groupBy("doc_id_1", "doc_id_2").agg(
+        F.max(F.when(F.col("kind") == "require", True).otherwise(False)).alias(
+            "seed_require"
+        ),
+        F.max(F.when(F.col("kind") == "disallow", True).otherwise(False)).alias(
+            "seed_disallow"
+        ),
+    )
+    out = pairs.join(F.broadcast(flags), ["doc_id_1", "doc_id_2"], "left")
+
+    # require-group id per doc = min doc_id of its require-component
+    # (transitive on the small seed table — driver-side closure is fine
+    # because seeds are feedback-scale, not corpus-scale)
+    req_edges = canon.where(F.col("kind") == "require")
+    groups = _require_groups(req_edges)
+    if groups is not None:
+        g1 = groups.withColumnRenamed("doc_id", "doc_id_1").withColumnRenamed(
+            "grp", "grp_1"
+        )
+        g2 = groups.withColumnRenamed("doc_id", "doc_id_2").withColumnRenamed(
+            "grp", "grp_2"
+        )
+        out = (
+            out.join(F.broadcast(g1), "doc_id_1", "left")
+            .join(F.broadcast(g2), "doc_id_2", "left")
+            .withColumn(
+                "cross_seed_disallow",
+                F.col("grp_1").isNotNull()
+                & F.col("grp_2").isNotNull()
+                & (F.col("grp_1") != F.col("grp_2")),
+            )
+            .withColumn(
+                "seed_require",
+                F.coalesce("seed_require", F.lit(False))
+                | (
+                    F.col("grp_1").isNotNull()
+                    & F.col("grp_2").isNotNull()
+                    & (F.col("grp_1") == F.col("grp_2"))
+                ),
+            )
+            .drop("grp_1", "grp_2")
+        )
+    else:
+        out = out.withColumn("cross_seed_disallow", F.lit(False))
+    return out.fillna({"seed_require": False, "seed_disallow": False})
+
+
+def _require_groups(req_edges: DataFrame) -> DataFrame | None:
+    """Transitive require-groups via driver-side union-find (seed tables
+    are tiny); returns (doc_id, grp) or None when empty."""
+    rows = req_edges.select("doc_id_1", "doc_id_2").collect()
+    if not rows:
+        return None
+    from ent_res_feedback_spark.oracle import UnionFind
+
+    uf = UnionFind()
+    for r in rows:
+        uf.union(r["doc_id_1"], r["doc_id_2"])
+    members = sorted({x for r in rows for x in (r["doc_id_1"], r["doc_id_2"])})
+    assign = [(m, uf.find(m)) for m in members]
+    spark = req_edges.sparkSession
+    return spark.createDataFrame(assign, "doc_id string, grp string")
+
+
+def constraint_distance(
+    alias_pairs: DataFrame | None = None,
+) -> Column:
+    """The C1 precedence chain as one column expression over a pair frame
+    that already has seed flags and mention fields (_1/_2 suffixed).
+
+    Order (reference data.py:827-891):
+      seed disallow -> 1e4
+      seed require  -> 0
+      cross-seed disallow -> 1e4
+      last-name mismatch -> 1e4
+      first-initial mismatch -> 1e4
+      non-prefix & non-alias firsts -> 1e4
+      conflicting middle initials -> 1e4
+      else NULL (model decides)
+    """
+    f1, f2 = F.col("first_1"), F.col("first_2")
+    l1, l2 = F.col("last_1"), F.col("last_2")
+    known_alias = (
+        F.coalesce(F.col("known_alias"), F.lit(False))
+        if alias_pairs is not None
+        else F.lit(False)
+    )
+    return (
+        F.when(F.col("seed_disallow"), F.lit(LARGE_DISTANCE))
+        .when(F.col("seed_require"), F.lit(LOW_DISTANCE))
+        .when(F.col("cross_seed_disallow"), F.lit(LARGE_DISTANCE))
+        .when(l1 != l2, F.lit(LARGE_DISTANCE))
+        .when(
+            (F.length(f1) > 0)
+            & (F.length(f2) > 0)
+            & (F.substring(f1, 1, 1) != F.substring(f2, 1, 1)),
+            F.lit(LARGE_DISTANCE),
+        )
+        .when(
+            (F.length(f1) > 0)
+            & (F.length(f2) > 0)
+            & ~_starts_with_either(f1, f2)
+            & ~known_alias,
+            F.lit(LARGE_DISTANCE),
+        )
+        .when(
+            middle_compatible(F.col("middle_1"), F.col("middle_2")) == 0.0,
+            F.lit(LARGE_DISTANCE),
+        )
+        .otherwise(F.lit(None).cast("double"))
+    )
+
+
+def apply_constraints(pairs: DataFrame, seeds: DataFrame | None = None) -> DataFrame:
+    """Attach ``constraint_dist`` (NULL = unconstrained). Call BEFORE the
+    expensive featurization and filter the UDF input to
+    ``constraint_dist IS NULL`` (the C2 gate)."""
+    with_seeds = join_seed_constraints(pairs, seeds)
+    return with_seeds.withColumn("constraint_dist", constraint_distance())

@@ -1,0 +1,143 @@
+"""Deduplication operators over the ``documents`` table — the
+training-data-pipeline layer: exact, MinHash-LSH, SimHash, and n-gram
+Jaccard near-dup. All candidate generation is JVM-side (portable md5
+hashes, see functions/hashing.py); verification jaccard is a column
+expression over token arrays.
+
+At 100 TB scale the shape is: narrow fingerprint/signature projection ->
+one shuffle per dedup key (groupBy or band-key self-join) -> verified
+pairs / survivor table. No driver-side state anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ent_res_feedback_spark.functions import hashing
+from ent_res_feedback_spark.functions.text import normalize_text_ascii, set_jaccard
+from ent_res_feedback_spark.operators.blocking import add_minhash_band_keys, tokenize
+from ent_res_feedback_spark.operators.pairs import within_block_pairs
+
+
+def normalized_fingerprint(text_col: Column) -> Column:
+    """Exact-dup key: md5 of the ASCII-normalized text."""
+    return hashing.doc_fingerprint(normalize_text_ascii(text_col))
+
+
+def exact_duplicates(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup via hash-groupBy: one row per duplicate GROUP (size>1)
+    with the survivor (min id) and the group size."""
+    fp = docs.select(
+        F.col(id_col), normalized_fingerprint(F.col(text_col)).alias("fingerprint")
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("survivor_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .where(F.col("group_size") > 1)
+    )
+
+
+def dedup_survivors(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup keep-first: rows whose id is the min of their
+    fingerprint group (deterministic survivor selection)."""
+    fp = docs.withColumn("fingerprint", normalized_fingerprint(F.col(text_col)))
+    keep = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    return fp.join(keep, ["fingerprint", id_col], "inner").drop("fingerprint")
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    block_col: Column | None = None,
+) -> DataFrame:
+    """Near-dup pairs by token-set jaccard >= threshold. Candidate scope is
+    a blocking column (default: document length bucket is NOT used — the
+    caller should pass an LSH band key for scale; with block_col=None this
+    is a within-corpus all-pairs limited to small inputs/tests)."""
+    toks = tokenize(normalize_text_ascii(F.col(text_col)))
+    slim = docs.select(F.col(id_col), toks.alias("tokens"))
+    if block_col is not None:
+        slim = slim.withColumn("block_key", block_col)
+    else:
+        slim = slim.withColumn("block_key", F.lit("all"))
+    pairs = within_block_pairs(slim, key="block_key", id_col=id_col)
+    jac = set_jaccard(F.col("tokens_1"), F.col("tokens_2"))
+    return (
+        pairs.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select(id_col + "_1", id_col + "_2", "jaccard")
+    )
+
+
+def minhash_lsh_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bands: int = 4,
+    rows_per_band: int = 4,
+    verify_threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH near-dup detection: shingle -> minhash -> band ->
+    bucket self-join -> verify with true token jaccard. Emits verified
+    pairs (id1, id2, jaccard). The band join is the only wide stage; LSH
+    bounds candidate counts so the verify step never sees the quadratic
+    blowup an all-pairs join would."""
+    norm = normalize_text_ascii(F.col(text_col))
+    slim = docs.select(F.col(id_col), norm.alias("_norm")).withColumn(
+        "tokens", tokenize(F.col("_norm"))
+    )
+    banded = add_minhash_band_keys(
+        slim, "_norm", num_bands=num_bands, rows_per_band=rows_per_band, seed=seed
+    )
+    cands = within_block_pairs(
+        banded.select("band_key", id_col, "tokens"),
+        key="band_key",
+        id_col=id_col,
+    ).select(id_col + "_1", id_col + "_2", "tokens_1", "tokens_2").distinct()
+    jac = set_jaccard(F.col("tokens_1"), F.col("tokens_2"))
+    return (
+        cands.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= verify_threshold)
+        .select(id_col + "_1", id_col + "_2", "jaccard")
+    )
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_bits: int = 16,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """SimHash near-dup: 64-bit fingerprint (Arrow-batched numpy kernel),
+    bucket by the top ``prefix_bits`` bits (one rotation — production
+    would union several rotations), verify by Hamming distance via
+    bit_count(xor)."""
+    toks = tokenize(normalize_text_ascii(F.col(text_col)))
+    slim = docs.select(
+        F.col(id_col), hashing.simhash64(toks).alias("simhash")
+    ).where(F.col("simhash").isNotNull())
+    bucket = F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits)
+    slim = slim.withColumn("block_key", bucket.cast("string"))
+    pairs = within_block_pairs(
+        slim.select("block_key", id_col, "simhash"), key="block_key", id_col=id_col
+    )
+    hamming = F.bit_count(
+        F.col("simhash_1").bitwiseXOR(F.col("simhash_2"))
+    )
+    return (
+        pairs.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select(id_col + "_1", id_col + "_2", "hamming")
+    )

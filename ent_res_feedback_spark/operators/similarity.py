@@ -1,0 +1,168 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: exact baseline, JVM-side dot products for
+  oracle parity, or a numpy applyInPandas kernel for throughput
+- LSH-bucketed ANN (random-hyperplane signatures): the scale path — at
+  10^9+ vectors the cross join is infeasible; hyperplane buckets bound
+  candidates, then exact cosine re-ranks.
+
+The embedding column is the SPECTER analog (reference s2and/data.py:703-
+725); cosine semantics follow s2and/text.py:374-394.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ent_res_feedback_spark.functions.vectors import cosine_sim
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact k-NN join of the table to itself: (id, neighbor_id, cosine),
+    top-k per id. Quadratic — the correctness baseline and the small-dim
+    case (broadcast one side when it fits)."""
+    a = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("va")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb")
+    )
+    joined = a.crossJoin(b)
+    if exclude_self:
+        joined = joined.where(F.col("id") != F.col("neighbor_id"))
+    scored = joined.select(
+        "id",
+        "neighbor_id",
+        cosine_sim(F.col("va"), F.col("vb")).alias("cosine"),
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def brute_force_topk_numpy(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Throughput variant: broadcast the (small) query set into an Arrow-
+    batched kernel; each partition of the corpus does ONE numpy matmul
+    against all queries. Output: (query_id, neighbor_id, cosine) candidates
+    — top-k finalized by a groupBy window (merges per-partition top-ks)."""
+    q = query.select(id_col, vec_col).toPandas()
+    q_ids = q[id_col].to_numpy()
+    Q = np.stack(q[vec_col].to_numpy()).astype(np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    spark = embeddings.sparkSession
+    bq = spark.sparkContext.broadcast((q_ids, Qn))
+    out_schema = "query_id long, neighbor_id long, cosine double"
+
+    def kernel(pdfs):
+        q_ids_l, Qn_l = bq.value
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            S = Qn_l @ Xn.T  # [n_query, n_rows]
+            ids = pdf[id_col].to_numpy()
+            kk = min(k, S.shape[1])
+            idx = np.argpartition(-S, kth=kk - 1, axis=1)[:, :kk]
+            rows = {
+                "query_id": np.repeat(q_ids_l, kk),
+                "neighbor_id": ids[idx].ravel(),
+                "cosine": np.take_along_axis(S, idx, axis=1).ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    cands = embeddings.select(id_col, vec_col).mapInPandas(kernel, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def hyperplane_lsh_buckets(
+    embeddings: DataFrame,
+    num_planes: int = 12,
+    dim: int = 64,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    out: str = "lsh_bucket",
+) -> DataFrame:
+    """Random-hyperplane (sign) LSH bucket id per vector: sign pattern of
+    ``num_planes`` fixed random projections, as a JVM column expression
+    (dot products via zip_with/aggregate — no UDF)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_planes, dim))
+    bucket = F.lit(0).cast("long")
+    vec = F.col(vec_col)
+    for i in range(num_planes):
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(x)) for x in planes[i]]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return embeddings.withColumn(out, bucket)
+
+
+def ann_topk_lsh(
+    embeddings: DataFrame,
+    k: int = 5,
+    num_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate k-NN: hyperplane-bucket the corpus, exact cosine within
+    each bucket, top-k per id. Recall improves with fewer planes / multiple
+    tables; this single-table form is the scale skeleton."""
+    b = hyperplane_lsh_buckets(embeddings, num_planes, dim, seed, vec_col)
+    left = b.select(
+        F.col("lsh_bucket"), F.col(id_col).alias("id"), F.col(vec_col).alias("va")
+    )
+    right = b.select(
+        F.col("lsh_bucket"),
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vb"),
+    )
+    joined = left.join(right, "lsh_bucket").where(
+        F.col("id") != F.col("neighbor_id")
+    )
+    scored = joined.select(
+        "id", "neighbor_id", cosine_sim(F.col("va"), F.col("vb")).alias("cosine")
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("id", "neighbor_id", "cosine", "rank")
+    )

@@ -90,13 +90,23 @@ def levenshtein_py(a: str, b: str) -> int:
 #: Deliberately simple and strongly separable on name evidence; the SAME
 #: weights are broadcast into the Spark scorer so Spark-vs-oracle parity
 #: isolates the distributed plumbing, not the model.
+#: Calibration (tau = 0.5 ⟺ z >= 0):
+#:   all-neutral evidence (initial-only first, missing affil)  z = -0.8  NO
+#:   full name match + affil match                             z = +3.7  YES
+#:   full name match + affil missing                           z = +1.2  YES
+#:   full name match + affil MISmatch (homonym!)               z = -1.3  NO
+#:   initial-only + affil match                                z = +1.7  YES
+#: i.e. saturated name similarity alone cannot merge across a clear
+#: affiliation mismatch — the homonym defense the reference learns via
+#: LightGBM over coauthor/venue/reference features.
 DEFAULT_WEIGHTS = {
-    "jw_first": 3.0,
-    "lev_first": 2.0,
-    "prefix_first": 1.5,
-    "middle_compat": 1.0,
-    "affil_jaccard": 1.5,
-    "bias": -4.5,
+    "jw_first": 2.0,
+    "lev_first": 1.0,
+    "prefix_first": 1.0,
+    "middle_compat": 1.0,  # always 1.0 post-constraint (conflicts are
+    # disallowed upstream); kept for API parity, folds into the bias
+    "affil_jaccard": 5.0,
+    "bias": -6.3,
 }
 
 DEFAULT_TAU = 0.5
@@ -184,30 +194,47 @@ class UnionFind:
             self.parent[hi] = lo
 
 
+NAME_PREFIXES_PY = {
+    "dr", "prof", "professor", "mr", "miss", "mrs", "ms", "mx", "sir",
+    "phd", "md", "doctor",
+}
+
+
+def extract_mention_py(doc: dict) -> dict:
+    """Mirror of operators/mentions.extract_mentions for one doc dict
+    (corpus.py shape): normalize (apostrophe special case), strip leading
+    honorifics, split first/middle/last, S2 block key."""
+    text_spans = sorted(
+        (s for s in doc["spans"] if s[0] == "text"), key=lambda s: s[3]
+    )
+    if not text_spans:  # media-only document: no match evidence
+        return {"first": "", "middle": "", "last": "", "affil": "",
+                "block": "", "name": ""}
+    name = normalize_name_py(text_spans[0][1], special_case_apostrophes=True)
+    affil = normalize_name_py(text_spans[1][1]) if len(text_spans) > 1 else ""
+    toks = [t for t in name.split(" ") if t]
+    rounds = 0
+    while len(toks) > 1 and toks[0] in NAME_PREFIXES_PY and rounds < 2:
+        toks = toks[1:]
+        rounds += 1
+    name = " ".join(toks)
+    first, middle, last = split_name(name)
+    return {
+        "first": first, "middle": middle, "last": last,
+        "affil": affil, "block": block_key_py(name), "name": name,
+    }
+
+
 def cluster_documents_py(documents: list[dict], tau: float = DEFAULT_TAU,
                          weights: dict = DEFAULT_WEIGHTS) -> dict[str, str]:
     """Full oracle pipeline: doc dicts (corpus.py shape) -> {doc_id:
     cluster_id} where cluster_id = min doc_id of the transitive cluster."""
-    mentions = {}
-    for d in documents:
-        text_spans = [s for s in d["spans"] if s[0] == "text"]
-        name = normalize_name_py(text_spans[0][1], special_case_apostrophes=True)
-        affil = normalize_name_py(text_spans[1][1]) if len(text_spans) > 1 else ""
-        # honorific strip mirrors the engine's mention extractor
-        toks = name.split(" ")
-        while len(toks) > 1 and toks[0] in {"dr", "prof", "professor", "mr",
-                                            "mrs", "ms", "mx", "sir"}:
-            toks = toks[1:]
-        name = " ".join(toks)
-        first, middle, last = split_name(name)
-        mentions[d["doc_id"]] = {
-            "first": first, "middle": middle, "last": last,
-            "affil": affil, "block": block_key_py(name),
-        }
+    mentions = {d["doc_id"]: extract_mention_py(d) for d in documents}
 
     by_block: dict[str, list[str]] = {}
     for doc_id, m in mentions.items():
-        by_block.setdefault(m["block"], []).append(doc_id)
+        if m["block"]:  # nameless docs stay singletons (engine parity)
+            by_block.setdefault(m["block"], []).append(doc_id)
 
     uf = UnionFind()
     for ids in by_block.values():

@@ -1,38 +1,664 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship ER pipeline on sf0.001.
+``queries()`` exposes the engine's operators over the driver-provided
+parquet tables; ``oracle_sql()`` carries the DuckDB-equivalent SQL for
+every SQL-expressible query (value-hash comparison at sf0.01).
+
+Conventions for exact cross-engine agreement:
+- every float output column is rounded to 6 decimals on BOTH sides;
+- hashes are md5-derived (identical hex in Spark and DuckDB);
+- Jaro-Winkler semantics are pinned to DuckDB's (property-tested in
+  tests/test_strdist.py);
+- counts are cast to bigint on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+TAU = 0.62  # ER demo threshold over the word-soup documents table
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB side)
+# ---------------------------------------------------------------------------
+
+# ASCII normalize (mirror of functions.text.normalize_text_ascii)
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower({col}), '[^a-zA-Z\\s]+', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+# tokens of normalized text
+_TOKS = "string_split(" + _NORM + ", ' ')"
+
+
+def _block_sql(col: str) -> str:
+    """first-initial + ' ' + last-token block key (functions.text.compute_block_key)."""
+    n = _NORM.format(col=col)
+    t = f"string_split({n}, ' ')"
+    return (
+        f"(CASE WHEN length({n}) = 0 THEN '' "
+        f"WHEN len({t}) = 1 THEN {n} "
+        f"ELSE substr({t}[1], 1, 1) || ' ' || {t}[len({t})] END)"
+    )
+
+
+def _docs_with_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ent_res_feedback_spark.functions.text import (
+        compute_block_key,
+        normalize_text_ascii,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    norm = normalize_text_ascii(F.col("text"))
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        compute_block_key(norm).alias("block_key"),
+    )
+
+
+_PAIR_FEATURES_SQL_BODY = """
+WITH d AS (
+  SELECT doc_id, {norm} AS norm_text, {block} AS block_key
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, block_key, norm_text,
+         string_split(norm_text, ' ') AS tokens,
+         string_split(norm_text, ' ')[1] AS first_tok
+  FROM d
+),
+pairs AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, a.block_key,
+         a.first_tok AS f1, b.first_tok AS f2,
+         a.tokens AS t1, b.tokens AS t2
+  FROM toks a JOIN toks b USING (block_key)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_id_1, doc_id_2, block_key,
+       round(jaro_winkler_similarity(f1, f2), 6) AS jw,
+       round(1.0 - levenshtein(f1, f2)::DOUBLE /
+             greatest(length(f1), length(f2)), 6) AS lev_sim,
+       round(len(list_intersect(list_distinct(t1), list_distinct(t2)))::DOUBLE
+             / len(list_distinct(list_concat(t1, t2))), 6) AS tok_jaccard
+FROM pairs
+""".format(norm=_NORM.format(col="text"), block=_block_sql("text"))
+
+_SCORES_SQL_BODY = f"""
+WITH feats AS ({_PAIR_FEATURES_SQL_BODY})
+SELECT doc_id_1, doc_id_2, block_key,
+       round(1.0 / (1.0 + exp(-(-4.0 + 2.0*jw + 1.0*lev_sim + 4.0*tok_jaccard))), 6)
+         AS score
+FROM feats
+"""
+
+_CLUSTERS_SQL_BODY = f"""
+WITH RECURSIVE scores AS ({_SCORES_SQL_BODY}),
+edges AS (
+  SELECT doc_id_1 AS u, doc_id_2 AS v FROM scores WHERE score >= {TAU}
+),
+sym AS (
+  SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges
+),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+),
+comp AS (
+  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+)
+SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp c USING (doc_id)
+"""
+
+
+def _er_weights() -> dict:
+    return {"jw": 2.0, "lev_sim": 1.0, "tok_jaccard": 4.0, "bias": -4.0}
+
+
+def _er_pair_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ent_res_feedback_spark.functions.strdist import jaro_winkler, levenshtein_norm
+    from ent_res_feedback_spark.functions.text import set_jaccard
+    from ent_res_feedback_spark.operators.blocking import tokenize
+    from ent_res_feedback_spark.operators.pairs import within_block_pairs
+
+    d = _docs_with_block(spark, sf_dir).select(
+        "doc_id",
+        "block_key",
+        F.element_at(F.split("norm_text", " "), 1).alias("first_tok"),
+        tokenize(F.col("norm_text")).alias("tokens"),
+    )
+    pairs = within_block_pairs(
+        d, key="block_key", id_col="doc_id", salt_threshold=500, num_salt_buckets=4
+    )
+    f1, f2 = F.col("first_tok_1"), F.col("first_tok_2")
+    return pairs.select(
+        "doc_id_1",
+        "doc_id_2",
+        "block_key",
+        F.round(jaro_winkler(f1, f2), 6).alias("jw"),
+        F.round(
+            1.0 - F.levenshtein(f1, f2) / F.greatest(F.length(f1), F.length(f2)), 6
+        ).alias("lev_sim"),
+        F.round(set_jaccard(F.col("tokens_1"), F.col("tokens_2")), 6).alias(
+            "tok_jaccard"
+        ),
+    )
+
+
+def _er_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _er_weights()
+    feats = _er_pair_features(spark, sf_dir)
+    z = (
+        F.lit(w["bias"])
+        + F.lit(w["jw"]) * F.col("jw")
+        + F.lit(w["lev_sim"]) * F.col("lev_sim")
+        + F.lit(w["tok_jaccard"]) * F.col("tok_jaccard")
+    )
+    return feats.select(
+        "doc_id_1",
+        "doc_id_2",
+        "block_key",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
+    )
+
+
+def _er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ent_res_feedback_spark.operators.cc import (
+        components_with_singletons,
+        connected_components,
+    )
+
+    scores = _er_pair_scores(spark, sf_dir)
+    edges = scores.where(F.col("score") >= TAU).select(
+        F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst")
+    )
+    assignments = connected_components(edges)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return components_with_singletons(assignments, docs, "doc_id").withColumnRenamed(
+        "component", "cluster_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# entry / queries / oracle_sql
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full ER pipeline (blocking -> salted pairs -> constraints
+    -> scoring -> CC) over the synthetic interleaved-document corpus at
+    sf0.001 scale, returning (doc_id, cluster_id, n_spans)."""
+    from ent_res_feedback_spark.corpus import (
+        CorpusConfig,
+        corpus_to_spark,
+        generate_corpus,
+    )
+    from ent_res_feedback_spark.pipeline import ERConfig, run_pipeline
+
+    documents, _gold, _labeled = generate_corpus(CorpusConfig(n_entities=40, seed=42))
+    docs = corpus_to_spark(spark, documents)
+    res = run_pipeline(docs, ERConfig(salt_threshold=50, num_salt_buckets=4))
+    return res["clusters"].select(
+        "doc_id", "cluster_id", F.size("spans").alias("n_spans")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def q_block_key(spark, sf_dir):
+        return _docs_with_block(spark, sf_dir).select("doc_id", "block_key")
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q_block_census(spark, sf_dir):
+        from ent_res_feedback_spark.operators.blocking import block_census
+
+        return block_census(_docs_with_block(spark, sf_dir)).select(
+            "block_key",
+            F.col("block_size").cast("bigint").alias("block_size"),
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        )
+
+    def q_pairs(spark, sf_dir):
+        return _er_pair_features(spark, sf_dir).select(
+            "doc_id_1", "doc_id_2", "block_key"
+        )
+
+    def q_pair_features(spark, sf_dir):
+        return _er_pair_features(spark, sf_dir)
+
+    def q_pair_scores(spark, sf_dir):
+        return _er_pair_scores(spark, sf_dir)
+
+    def q_edges(spark, sf_dir):
+        return _er_pair_scores(spark, sf_dir).where(F.col("score") >= TAU)
+
+    def q_clusters(spark, sf_dir):
+        return _er_clusters(spark, sf_dir)
+
+    def q_cluster_sizes(spark, sf_dir):
+        return (
+            _er_clusters(spark, sf_dir)
+            .groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        )
+
+    def q_dedup_exact(spark, sf_dir):
+        from ent_res_feedback_spark.operators.dedup import exact_duplicates
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return exact_duplicates(docs).select(
+            "fingerprint",
+            F.col("survivor_id").cast("bigint").alias("survivor_id"),
+            F.col("group_size").cast("bigint").alias("group_size"),
+        )
+
+    def q_fingerprints(spark, sf_dir):
+        from ent_res_feedback_spark.functions.hashing import doc_fingerprint
+        from ent_res_feedback_spark.functions.text import normalize_text_ascii
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return docs.select(
+            "doc_id", doc_fingerprint(normalize_text_ascii(F.col("text"))).alias("fingerprint")
+        )
+
+    def q_minhash_bands(spark, sf_dir):
+        from ent_res_feedback_spark.operators.blocking import add_minhash_band_keys
+        from ent_res_feedback_spark.functions.text import normalize_text_ascii
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", normalize_text_ascii(F.col("text")).alias("norm_text")
+        )
+        return add_minhash_band_keys(
+            docs, "norm_text", num_bands=4, rows_per_band=4, seed=42
+        ).select("doc_id", "band_key")
+
+    def q_dedup_near_jaccard(spark, sf_dir):
+        from ent_res_feedback_spark.operators.dedup import minhash_lsh_duplicates
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = minhash_lsh_duplicates(
+            docs, num_bands=4, rows_per_band=4, verify_threshold=0.7, seed=42
+        )
+        return out.select(
+            F.col("doc_id_1").cast("bigint").alias("doc_id_1"),
+            F.col("doc_id_2").cast("bigint").alias("doc_id_2"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+
+    def q_text_profile(spark, sf_dir):
+        from ent_res_feedback_spark.operators.textstats import (
+            quality_score,
+            stopword_ratio,
+            token_count,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        t = F.col("text")
+        return docs.select(
+            "doc_id",
+            token_count(t).cast("bigint").alias("n_tokens"),
+            F.round(stopword_ratio(t), 6).alias("stop_ratio"),
+            F.round(quality_score(t), 6).alias("quality"),
+        )
+
+    def q_lang_id(spark, sf_dir):
+        from ent_res_feedback_spark.operators.textstats import language_id
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        lid = language_id(F.col("text"))
+        return docs.select(
+            "doc_id",
+            lid["is_reliable"].alias("is_reliable"),
+            lid["is_english"].alias("is_english"),
+            lid["lang"].alias("lang"),
+        )
+
+    def q_ann_topk(spark, sf_dir):
+        from ent_res_feedback_spark.operators.similarity import brute_force_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        out = brute_force_topk(emb, k=3)
+        return out.select(
+            F.col("id").cast("bigint").alias("vec_id"),
+            F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+
+    def q_embedding_label_centroid_sim(spark, sf_dir):
+        """Per-label mean vector, then each vector's cosine to its label
+        centroid — a groupBy-agg over array columns."""
+        from ent_res_feedback_spark.functions.vectors import cosine_sim
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n_dim = len(emb.select("embedding").first()["embedding"])
+        sums = emb.groupBy("label").agg(
+            F.array(
+                *[
+                    F.avg(F.element_at("embedding", i + 1)).alias(f"c{i}")
+                    for i in range(n_dim)
+                ]
+            ).alias("centroid")
+        )
+        return (
+            emb.join(sums, "label")
+            .select(
+                F.col("vec_id").cast("bigint").alias("vec_id"),
+                F.col("label").cast("bigint").alias("label"),
+                F.round(cosine_sim(F.col("embedding"), F.col("centroid")), 6).alias(
+                    "centroid_cosine"
+                ),
+            )
+        )
+
+    def q_tpch_q1(spark, sf_dir):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return (
+            li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+                ).alias("sum_disc_price"),
+                F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                F.count(F.lit(1)).cast("bigint").alias("count_order"),
+            )
+        )
+
+    def q_tpch_q3(spark, sf_dir):
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return (
+            cust.where(F.col("c_mktsegment") == "BUILDING")
+            .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+            .where(F.col("o_orderdate") < F.lit("1995-03-15"))
+            .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .where(F.col("l_shipdate") > F.lit("1995-03-15"))
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+                ).alias("revenue")
+            )
+            .select(
+                F.col("l_orderkey").cast("bigint").alias("l_orderkey"),
+                F.col("o_orderdate").cast("string").alias("o_orderdate"),
+                F.col("o_orderpriority").cast("string").alias("o_orderpriority"),
+                "revenue",
+            )
+        )
+
+    def q_incremental_assign(spark, sf_dir):
+        """Incremental mode (I1) on the synthetic corpus: batch-cluster
+        80% of docs, assign the remaining 20% incrementally. Not SQL-
+        expressible (avg-distance argmin over the scoring stack) ->
+        rows-only check."""
+        from ent_res_feedback_spark.corpus import (
+            CorpusConfig,
+            corpus_to_spark,
+            generate_corpus,
+        )
+        from ent_res_feedback_spark.operators.incremental import assign_incremental
+        from ent_res_feedback_spark.pipeline import ERConfig, run_pipeline
+
+        documents, _, _ = generate_corpus(CorpusConfig(n_entities=30, seed=13))
+        split = int(len(documents) * 0.8)
+        old = corpus_to_spark(spark, documents[:split])
+        new = corpus_to_spark(spark, documents[split:])
+        base = run_pipeline(old, ERConfig())["clusters"].select("doc_id", "cluster_id")
+        return assign_incremental(new, old, base, ERConfig())
+
+    def q_media_features(spark, sf_dir):
+        """Multimodal plumbing (stubbed decoder): spans -> media table ->
+        mapInPandas feature extraction. Rows-only check."""
+        from ent_res_feedback_spark.corpus import (
+            CorpusConfig,
+            corpus_to_spark,
+            generate_corpus,
+        )
+        from ent_res_feedback_spark.operators.multimodal import (
+            extract_media_features,
+            media_from_spans,
+        )
+
+        documents, _, _ = generate_corpus(CorpusConfig(n_entities=10, seed=3))
+        docs = corpus_to_spark(spark, documents)
+        return extract_media_features(media_from_spans(docs))
+
+    return {
+        "er_block_key": q_block_key,
+        "er_block_census": q_block_census,
+        "er_pairs": q_pairs,
+        "er_pair_features": q_pair_features,
+        "er_pair_scores": q_pair_scores,
+        "er_edges": q_edges,
+        "er_clusters": q_clusters,
+        "er_cluster_sizes": q_cluster_sizes,
+        "dedup_exact": q_dedup_exact,
+        "fingerprints": q_fingerprints,
+        "minhash_bands": q_minhash_bands,
+        "dedup_near_jaccard": q_dedup_near_jaccard,
+        "text_profile": q_text_profile,
+        "lang_id": q_lang_id,
+        "ann_topk": q_ann_topk,
+        "embedding_label_centroid_sim": q_embedding_label_centroid_sim,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "incremental_assign": q_incremental_assign,
+        "media_features": q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ent_res_feedback_spark.functions.hashing import sql_minhash_expr
+
+    norm = _NORM.format(col="text")
+    toks = f"string_split({norm}, ' ')"
+    block = _block_sql("text")
+
+    mh_sig = sql_minhash_expr(f"string_split({norm}, ' ')", 16, seed=42)
+    band_keys = []
+    for i in range(4):
+        parts = " || '_' || ".join(
+            f"sig[{i * 4 + j + 1}]::VARCHAR" for j in range(4)
+        )
+        band_keys.append(f"'b{i}:' || md5({parts})")
+    bands_sql = f"""
+WITH sigs AS (
+  SELECT doc_id, {mh_sig} AS sig FROM documents
+  WHERE len(list_distinct(string_split({norm}, ' '))) > 0
+)
+SELECT doc_id, unnest([{', '.join(band_keys)}]) AS band_key FROM sigs
+"""
+
+    near_dup_sql = f"""
+WITH sigs AS (
+  SELECT doc_id, list_distinct(string_split({norm}, ' ')) AS tokens,
+         {mh_sig} AS sig
+  FROM documents
+  WHERE len(list_distinct(string_split({norm}, ' '))) > 0
+),
+banded AS (
+  SELECT doc_id, tokens, unnest([{', '.join(band_keys)}]) AS band_key FROM sigs
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         a.tokens AS t1, b.tokens AS t2
+  FROM banded a JOIN banded b USING (band_key)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_id_1, doc_id_2,
+       round(len(list_intersect(t1, t2))::DOUBLE
+             / len(list_distinct(list_concat(t1, t2))), 6) AS jaccard
+FROM cands
+WHERE len(list_intersect(t1, t2))::DOUBLE
+      / len(list_distinct(list_concat(t1, t2))) >= 0.7
+"""
+
+    stop_list = ", ".join(
+        f"'{w}'" for w in sorted(__import__(
+            "ent_res_feedback_spark.functions.text", fromlist=["STOPWORDS"]
+        ).STOPWORDS)
+    )
+    en_markers = ", ".join(
+        f"'{w}'" for w in [
+            "the", "and", "of", "to", "in", "a", "is", "that", "for", "it",
+            "with", "as", "on", "be", "at", "by", "this", "from", "or", "an",
+        ]
+    )
+
+    text_profile_sql = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks,
+         list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS ltoks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, text, len(toks) AS n_tokens,
+         CASE WHEN len(ltoks) > 0 THEN
+           len(list_filter(ltoks, t -> t IN ({stop_list})))::DOUBLE / len(ltoks)
+         ELSE 0.0 END AS stop_ratio,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^a-zA-Z\\s]', '', 'g')) AS n_alpha
+  FROM base
+)
+SELECT doc_id, n_tokens::BIGINT AS n_tokens, round(stop_ratio, 6) AS stop_ratio,
+       round(
+         0.3 * least(n_chars / 500.0, 1.0)
+         + 0.3 * (CASE WHEN n_chars > 0 THEN n_alpha::DOUBLE / n_chars ELSE 0 END)
+         + 0.2 * (CASE WHEN n_tokens > 0 AND n_chars::DOUBLE / n_tokens BETWEEN 3 AND 12
+                  THEN 1.0 ELSE 0.0 END)
+         + 0.2 * (CASE WHEN stop_ratio BETWEEN 0.05 AND 0.7 THEN 1.0 ELSE 0.0 END),
+       6) AS quality
+FROM m
+"""
+
+    lang_sql = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS ltoks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, len(ltoks) AS n,
+         CASE WHEN len(ltoks) > 0 THEN
+           len(list_filter(ltoks, t -> t IN ({en_markers})))::DOUBLE / len(ltoks)
+         ELSE 0.0 END AS ratio
+  FROM base
+)
+SELECT doc_id, (n > 1 AND ratio >= 0.05) AS is_reliable,
+       (CASE WHEN n > 1 AND ratio >= 0.05 THEN 'en' ELSE 'un' END) = 'en' AS is_english,
+       CASE WHEN n > 1 AND ratio >= 0.05 THEN 'en' ELSE 'un' END AS lang
+FROM m
+"""
+
+    ann_sql = """
+WITH scored AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+           AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+),
+ranked AS (
+  SELECT vec_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC)
+           AS rank
+  FROM scored
+)
+SELECT vec_id, neighbor_id, round(cos, 6) AS cosine, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+    centroid_sql = """
+WITH expanded AS (
+  SELECT vec_id, label, t.i AS i, embedding[t.i]::DOUBLE AS x
+  FROM embeddings,
+       unnest(generate_series(1, len(embedding))) AS t(i)
+),
+centroids AS (
+  SELECT label, i, avg(x) AS c FROM expanded GROUP BY label, i
+),
+dots AS (
+  SELECT e.vec_id, e.label,
+         sum(e.x * c.c) AS dot,
+         sqrt(sum(e.x * e.x)) AS na,
+         sqrt(sum(c.c * c.c)) AS nb
+  FROM expanded e JOIN centroids c ON e.label = c.label AND e.i = c.i
+  GROUP BY e.vec_id, e.label
+)
+SELECT vec_id::BIGINT AS vec_id, label::BIGINT AS label,
+       round(CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / (na * nb) END, 6)
+         AS centroid_cosine
+FROM dots
+"""
+
+    return {
+        "er_block_key": f"SELECT doc_id, {block} AS block_key FROM documents",
+        "er_block_census": f"""
+SELECT {block} AS block_key, count(*)::BIGINT AS block_size,
+       (count(*) * (count(*) - 1) / 2)::BIGINT AS n_pairs
+FROM documents GROUP BY 1
+""",
+        "er_pairs": f"""
+WITH d AS (SELECT doc_id, {block} AS block_key FROM documents)
+SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, a.block_key
+FROM d a JOIN d b USING (block_key) WHERE a.doc_id < b.doc_id
+""",
+        "er_pair_features": _PAIR_FEATURES_SQL_BODY,
+        "er_pair_scores": _SCORES_SQL_BODY,
+        "er_edges": f"SELECT * FROM ({_SCORES_SQL_BODY}) WHERE score >= {TAU}",
+        "er_clusters": _CLUSTERS_SQL_BODY,
+        "er_cluster_sizes": f"""
+SELECT cluster_id, count(*)::BIGINT AS n_docs
+FROM ({_CLUSTERS_SQL_BODY}) GROUP BY cluster_id
+""",
+        "dedup_exact": f"""
+SELECT md5({norm}) AS fingerprint, min(doc_id)::BIGINT AS survivor_id,
+       count(*)::BIGINT AS group_size
+FROM documents GROUP BY 1 HAVING count(*) > 1
+""",
+        "fingerprints": f"SELECT doc_id, md5({norm}) AS fingerprint FROM documents",
+        "minhash_bands": bands_sql,
+        "dedup_near_jaccard": near_dup_sql,
+        "text_profile": text_profile_sql,
+        "lang_id": lang_sql,
+        "ann_topk": ann_sql,
+        "embedding_label_centroid_sim": centroid_sql,
+        "tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "tpch_q3": """
+SELECT l.l_orderkey::BIGINT AS l_orderkey,
+       o.o_orderdate::VARCHAR AS o_orderdate,
+       o.o_orderpriority::VARCHAR AS o_orderpriority,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < '1995-03-15'
+  AND l.l_shipdate > '1995-03-15'
+GROUP BY 1, 2, 3
+""",
+        # incremental_assign, media_features: not SQL-expressible
+        # (scoring-stack argmin / mapInPandas decode) -> rows-only check.
+    }

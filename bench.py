@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+--scaling mode: the BASELINE.md protocol — run the full ER pipeline on
+the same synthetic corpus (~1e4 docs incl. a hot block) at local[8] and
+local[32] in separate JVMs, report docs/sec at both + scaling efficiency
+eff = (throughput_32 / throughput_8) / 4. Results also appended to
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "er_clusters",       # full blocking -> pairs -> score -> CC stack
+    "er_pair_scores",
+    "dedup_near_jaccard",
+    "text_profile",
+    "ann_topk_lsh",      # scale-path ANN (brute-force is the sf0.01 oracle)
+    "tpch_q1",
+    "tpch_q3",
+]
+
+
+def _ann_topk_lsh(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ent_res_feedback_spark.operators.similarity import ann_topk_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    return ann_topk_lsh(emb, k=3, num_planes=8, dim=dim).select(
+        "id", "neighbor_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def run_headline(sf_dir: str = SF_DIR, cpus: int = CPUS) -> dict:
+    from ent_res_feedback_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("bench", cores=cpus)
+    queries = entry_mod.queries()
+    queries["ann_topk_lsh"] = _ann_topk_lsh
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = queries[name](spark, sf_dir)
+        n = df.count()  # materialize
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    return {
+        "metric": "headline_query_wall_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "cpus": cpus,
+    }
+
+
+# ---------------------------------------------------------------------------
+# scaling mode (BASELINE.md protocol)
+# ---------------------------------------------------------------------------
+
+_SCALING_CHILD = """
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from ent_res_feedback_spark.corpus import CorpusConfig, corpus_to_spark, generate_corpus
+from ent_res_feedback_spark.pipeline import ERConfig, run_pipeline
+from ent_res_feedback_spark.session import get_spark
+
+cores = int(sys.argv[1])
+n_entities = int(sys.argv[2])
+spark = get_spark("er-scaling", cores=cores)
+documents, gold, labeled = generate_corpus(
+    CorpusConfig(n_entities=n_entities, max_docs_per_entity=8, seed=42))
+docs = corpus_to_spark(spark, documents).repartition(cores * 2).cache()
+n = docs.count()
+t0 = time.time()
+res = run_pipeline(docs, ERConfig(salt_threshold=500, num_salt_buckets=8))
+n_clusters = res["metrics"]["n_clusters"]
+wall = time.time() - t0
+print("RESULT " + json.dumps({
+    "cores": cores, "docs": n, "wall_sec": round(wall, 3),
+    "docs_per_sec": round(n / wall, 3), "n_clusters": n_clusters}))
+"""
+
+
+def run_scaling(n_entities: int = 2500, cores_pair=(8, 32)) -> dict:
+    repo = os.path.dirname(os.path.abspath(__file__))
+    results = {}
+    for cores in cores_pair:
+        script = _SCALING_CHILD.format(repo=repo)
+        out = subprocess.run(
+            [sys.executable, "-c", script, str(cores), str(n_entities)],
+            capture_output=True, text=True, timeout=3600,
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("RESULT ")]
+        if not line:
+            raise RuntimeError(
+                f"scaling child (cores={cores}) failed:\n{out.stderr[-3000:]}"
+            )
+        results[cores] = json.loads(line[0][len("RESULT "):])
+    lo, hi = cores_pair
+    eff = (results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]) / (hi / lo)
+    return {"runs": results, "scaling_efficiency": round(eff, 4),
+            "cores_pair": list(cores_pair)}
+
+
+def main():
+    if "--scaling" in sys.argv:
+        res = run_scaling()
+        print(json.dumps(res))
+        _append_baseline_md(res)
+        return
+    print(json.dumps(run_headline()))
+
+
+def _append_baseline_md(res: dict):
+    os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"),
+                exist_ok=True)
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH", "BASELINE.md")
+    lo, hi = res["cores_pair"]
+    r = res["runs"]
+    lines = [
+        f"\n## Scaling run ({time.strftime('%Y-%m-%d %H:%M:%S')})\n",
+        "| run | cores | input docs | wall (s) | docs/sec | scaling eff |\n",
+        "|---|---|---|---|---|---|\n",
+        f"| N | local[{lo}] | {r[lo]['docs']} | {r[lo]['wall_sec']} | "
+        f"{r[lo]['docs_per_sec']} | — |\n",
+        f"| 4N | local[{hi}] | {r[hi]['docs']} | {r[hi]['wall_sec']} | "
+        f"{r[hi]['docs_per_sec']} | {res['scaling_efficiency']} |\n",
+    ]
+    header = "# BENCH/BASELINE — measured runs\n" if not os.path.exists(path) else ""
+    with open(path, "a") as f:
+        f.write(header + "".join(lines))
+
+
+if __name__ == "__main__":
+    main()

@@ -57,16 +57,15 @@ def minhash_signature(tokens: Column, num_hashes: int, seed: int = 42) -> Column
     Identical values are expressible in DuckDB (see sql_minhash_expr).
     """
     hashed = F.transform(F.array_distinct(tokens), token_hash32)
+
+    def _perm(a: int, b: int):
+        # closure factory: a single-arg lambda (PySpark dispatches
+        # higher-order-function arity on the Python signature)
+        return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE61))
+
     sig = F.array(
         *[
-            F.array_min(
-                F.transform(
-                    hashed,
-                    lambda h, a=a, b=b: F.pmod(
-                        F.lit(a) * h + F.lit(b), F.lit(MERSENNE61)
-                    ),
-                )
-            )
+            F.array_min(F.transform(hashed, _perm(a, b)))
             for a, b in minhash_params(num_hashes, seed)
         ]
     )

@@ -1,0 +1,79 @@
+"""Feedback loop: uncertainty-sampled labels must monotonically improve
+agreement with gold, recomputation must stay lineage-bounded, and seeded
+labels must stick across rounds."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ent_res_feedback_spark.corpus import CorpusConfig, corpus_to_spark, generate_corpus
+from ent_res_feedback_spark.operators.feedback import (
+    run_feedback_loop,
+    select_uncertain_pairs,
+)
+from ent_res_feedback_spark.operators.metrics import pairwise_prf
+from ent_res_feedback_spark.pipeline import ERConfig, scored_pair_distances
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    # higher-noise corpus so round 0 is imperfect and feedback has headroom
+    return generate_corpus(CorpusConfig(n_entities=30, seed=99))
+
+
+def test_uncertainty_selection_near_tau(spark, corpus):
+    documents, _, _ = corpus
+    docs = corpus_to_spark(spark, documents)
+    scored = scored_pair_distances(docs, ERConfig())
+    picked = select_uncertain_pairs(scored, tau=0.5, k=10).collect()
+    assert len(picked) > 0
+    all_scores = [
+        r["score"]
+        for r in scored.where(F.col("score").isNotNull()).collect()
+    ]
+    max_picked_dist = max(abs(r["score"] - 0.5) for r in picked)
+    # picked pairs are closer to tau than the median unpicked pair
+    import statistics
+
+    assert max_picked_dist <= statistics.median(
+        abs(s - 0.5) for s in all_scores
+    )
+
+
+def test_feedback_improves_f1(spark, corpus):
+    documents, gold, labeled_pairs = corpus
+    docs = corpus_to_spark(spark, documents)
+    gold_map = dict(gold)
+    labeled_df = spark.createDataFrame(
+        [(a, b, l) for a, b, l, _ in labeled_pairs],
+        "doc_id_1 string, doc_id_2 string, label int",
+    )
+
+    def labeler(d1, d2):
+        return int(gold_map[d1] == gold_map[d2])
+
+    def metric_fn(clusters):
+        return pairwise_prf(labeled_df, clusters)["f1"]
+
+    res = run_feedback_loop(
+        docs, labeler, ERConfig(), max_rounds=3, pairs_per_round=25,
+        metric_fn=metric_fn,
+    )
+    hist = res["state"].history
+    assert len(hist) >= 2
+    first, last = hist[0]["metric"], hist[-1]["metric"]
+    assert last >= first  # feedback never hurts on gold labels
+    assert res["state"].touched_blocks  # lineage recorded
+    # every labeled seed is enforced in the final scored frame
+    seeds = res["state"].seeds
+    scored = res["scored"]
+    for d1, d2, kind in seeds[:10]:
+        lo, hi = min(d1, d2), max(d1, d2)
+        row = scored.where(
+            (F.col("doc_id_1") == lo) & (F.col("doc_id_2") == hi)
+        ).collect()
+        assert row, (d1, d2)
+        dist = row[0]["dist"]
+        if kind == "require":
+            assert dist == 0.0
+        else:
+            assert dist >= 1e4

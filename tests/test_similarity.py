@@ -1,0 +1,83 @@
+"""Similarity search: brute-force top-k vs numpy oracle; LSH ANN recall;
+numpy mapInPandas variant agrees with the column-expression variant."""
+
+import numpy as np
+import pytest
+
+from ent_res_feedback_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(42)
+    X = rng.standard_normal((60, 16)).astype(np.float32)
+    rows = [(i, X[i].tolist()) for i in range(len(X))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df, X
+
+
+def _numpy_topk(X, k):
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    np.fill_diagonal(S, -np.inf)
+    out = {}
+    for i in range(len(X)):
+        order = sorted(range(len(X)), key=lambda j: (-S[i, j], j))[:k]
+        out[i] = [(j, S[i, j]) for j in order]
+    return out
+
+
+def test_brute_force_topk_matches_numpy(spark, emb_df):
+    df, X = emb_df
+    k = 4
+    got = {}
+    for r in similarity.brute_force_topk(df, k=k).collect():
+        got.setdefault(r["id"], []).append((r["rank"], r["neighbor_id"], r["cosine"]))
+    want = _numpy_topk(X.astype(np.float64), k)
+    for i in want:
+        got_i = [n for _, n, _ in sorted(got[i])]
+        want_i = [n for n, _ in want[i]]
+        assert got_i == want_i, f"id {i}"
+        for (_, n, c), (wn, wc) in zip(sorted(got[i]), want[i]):
+            assert c == pytest.approx(wc, abs=1e-9)
+
+
+def test_numpy_variant_matches_column_variant(spark, emb_df):
+    df, X = emb_df
+    k = 3
+    a = {
+        (r["id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.brute_force_topk(df, k=k).collect()
+    }
+    b = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.brute_force_topk_numpy(df, df, k=k).collect()
+    }
+    assert a == b
+
+
+def test_ann_lsh_recall_reasonable(spark, emb_df):
+    df, X = emb_df
+    exact = {
+        r["id"]: r["neighbor_id"]
+        for r in similarity.brute_force_topk(df, k=1).collect()
+    }
+    ann = {}
+    for r in similarity.ann_topk_lsh(df, k=1, num_planes=4, dim=16).collect():
+        ann[r["id"]] = r["neighbor_id"]
+    hits = sum(1 for i in exact if ann.get(i) == exact[i])
+    recall = hits / len(exact)
+    assert recall >= 0.5, recall  # single-table LSH, 4 planes: recall@1 >= 0.5
+
+
+def test_hyperplane_buckets_deterministic(spark, emb_df):
+    df, _ = emb_df
+    a = {
+        r["vec_id"]: r["lsh_bucket"]
+        for r in similarity.hyperplane_lsh_buckets(df, 6, 16).collect()
+    }
+    b = {
+        r["vec_id"]: r["lsh_bucket"]
+        for r in similarity.hyperplane_lsh_buckets(df, 6, 16).collect()
+    }
+    assert a == b

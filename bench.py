@@ -44,7 +44,7 @@ def _ann_topk_lsh(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     dim = len(emb.select("embedding").first()["embedding"])
-    return ann_topk_lsh(emb, k=3, num_planes=8, dim=dim).select(
+    return ann_topk_lsh(emb, k=3, num_planes=4, num_tables=4, dim=dim).select(
         "id", "neighbor_id", F.round("cosine", 6).alias("cosine")
     )
 

@@ -134,28 +134,55 @@ def hyperplane_lsh_buckets(
 def ann_topk_lsh(
     embeddings: DataFrame,
     k: int = 5,
-    num_planes: int = 8,
+    num_planes: int = 2,
+    num_tables: int = 8,
     dim: int = 64,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate k-NN: hyperplane-bucket the corpus, exact cosine within
-    each bucket, top-k per id. Recall improves with fewer planes / multiple
-    tables; this single-table form is the scale skeleton."""
-    b = hyperplane_lsh_buckets(embeddings, num_planes, dim, seed, vec_col)
-    left = b.select(
-        F.col("lsh_bucket"), F.col(id_col).alias("id"), F.col(vec_col).alias("va")
+    """Approximate k-NN via MULTI-TABLE hyperplane LSH: ``num_tables``
+    independent sign-hash tables of ``num_planes`` planes each; candidate
+    pairs are the union of same-bucket pairs across tables (deduped),
+    re-ranked by exact cosine.
+
+    Recall@1 ~ 1 - (1 - p^planes)^tables with p = 1 - angle/pi — the knob
+    the caller tunes per corpus: more planes = smaller buckets (cheaper
+    join), more tables = recovered recall. The per-table bucket join is
+    the only wide stage; candidates stay ~linear instead of the cross
+    join's quadratic."""
+    b = embeddings
+    table_cols = []
+    for t in range(num_tables):
+        col = f"_lsh_t{t}"
+        b = hyperplane_lsh_buckets(b, num_planes, dim, seed + 1000 * t, vec_col, out=col)
+        table_cols.append(col)
+    # one row per (vector, table-bucket) with a table-qualified key
+    buckets = b.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(":", F.lit(str(t)), F.col(c).cast("string"))
+                    for t, c in enumerate(table_cols)
+                ]
+            )
+        ).alias("lsh_key"),
     )
-    right = b.select(
-        F.col("lsh_bucket"),
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("vb"),
+    left = buckets.select(
+        "lsh_key", F.col(id_col).alias("id"), F.col(vec_col).alias("va")
     )
-    joined = left.join(right, "lsh_bucket").where(
-        F.col("id") != F.col("neighbor_id")
+    right = buckets.select(
+        "lsh_key", F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb")
     )
-    scored = joined.select(
+    cands = (
+        left.join(right, "lsh_key")
+        .where(F.col("id") != F.col("neighbor_id"))
+        .select("id", "neighbor_id", "va", "vb")
+        .dropDuplicates(["id", "neighbor_id"])
+    )
+    scored = cands.select(
         "id", "neighbor_id", cosine_sim(F.col("va"), F.col("vb")).alias("cosine")
     )
     w = Window.partitionBy("id").orderBy(

@@ -8,7 +8,9 @@ from ent_res_feedback_spark.operators import dedup
 
 def _mkdocs(spark, seed=3, n=80, vocab=20, dup_rate=0.3):
     rng = random.Random(seed)
-    words = [f"w{i}" for i in range(vocab)]
+    # alphabetic vocab: the dedup operators fingerprint NORMALIZED text
+    # (digits fold away), so tokens must survive normalization unchanged
+    words = ["".join(chr(ord("a") + int(c)) for c in str(i)) + "x" for i in range(vocab)]
     rows = []
     texts = []
     for i in range(n):

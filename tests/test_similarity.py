@@ -63,11 +63,14 @@ def test_ann_lsh_recall_reasonable(spark, emb_df):
         for r in similarity.brute_force_topk(df, k=1).collect()
     }
     ann = {}
-    for r in similarity.ann_topk_lsh(df, k=1, num_planes=4, dim=16).collect():
+    for r in similarity.ann_topk_lsh(
+        df, k=1, num_planes=2, num_tables=8, dim=16
+    ).collect():
         ann[r["id"]] = r["neighbor_id"]
     hits = sum(1 for i in exact if ann.get(i) == exact[i])
     recall = hits / len(exact)
-    assert recall >= 0.5, recall  # single-table LSH, 4 planes: recall@1 >= 0.5
+    # 8 tables x 2 planes: expected recall@1 ~0.9+ even on random vectors
+    assert recall >= 0.7, recall
 
 
 def test_hyperplane_buckets_deterministic(spark, emb_df):

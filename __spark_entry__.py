@@ -276,7 +276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", normalize_text_ascii(F.col("text")).alias("norm_text")
         )
         return add_minhash_band_keys(
-            docs, "norm_text", num_bands=4, rows_per_band=4, seed=42
+            docs, "norm_text", num_bands=4, rows_per_band=4, seed=42, shingle_n=3
         ).select("doc_id", "band_key")
 
     def q_dedup_near_jaccard(spark, sf_dir):
@@ -284,7 +284,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         out = minhash_lsh_duplicates(
-            docs, num_bands=4, rows_per_band=4, verify_threshold=0.7, seed=42
+            docs, num_bands=4, rows_per_band=4, verify_threshold=0.7, seed=42,
+            shingle_n=3,
         )
         return out.select(
             F.col("doc_id_1").cast("bigint").alias("doc_id_1"),
@@ -466,7 +467,16 @@ def oracle_sql() -> dict[str, str]:
     toks = f"string_split({norm}, ' ')"
     block = _block_sql("text")
 
-    mh_sig = sql_minhash_expr(f"string_split({norm}, ' ')", 16, seed=42)
+    # word 3-gram shingles (mirror of operators/blocking.word_shingles):
+    # non-distinct token stream -> n-grams; <3 tokens -> the whole text
+    filt_toks = f"list_filter({toks}, t -> length(t) > 0)"
+    shingles = (
+        f"list_distinct(CASE WHEN len({filt_toks}) >= 3 THEN "
+        f"list_transform(generate_series(1, len({filt_toks}) - 2), "
+        f"i -> {filt_toks}[i] || ' ' || {filt_toks}[i+1] || ' ' || {filt_toks}[i+2]) "
+        f"ELSE [array_to_string({filt_toks}, ' ')] END)"
+    )
+    mh_sig = sql_minhash_expr(shingles, 16, seed=42)
     band_keys = []
     for i in range(4):
         parts = " || '_' || ".join(
@@ -476,17 +486,17 @@ def oracle_sql() -> dict[str, str]:
     bands_sql = f"""
 WITH sigs AS (
   SELECT doc_id, {mh_sig} AS sig FROM documents
-  WHERE len(list_distinct(string_split({norm}, ' '))) > 0
+  WHERE len({shingles}) > 0
 )
 SELECT doc_id, unnest([{', '.join(band_keys)}]) AS band_key FROM sigs
 """
 
     near_dup_sql = f"""
 WITH sigs AS (
-  SELECT doc_id, list_distinct(string_split({norm}, ' ')) AS tokens,
+  SELECT doc_id, {shingles} AS tokens,
          {mh_sig} AS sig
   FROM documents
-  WHERE len(list_distinct(string_split({norm}, ' '))) > 0
+  WHERE len({shingles}) > 0
 ),
 banded AS (
   SELECT doc_id, tokens, unnest([{', '.join(band_keys)}]) AS band_key FROM sigs

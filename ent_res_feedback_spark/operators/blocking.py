@@ -46,6 +46,25 @@ def tokenize(col, pattern: str = r"\s+"):
     )
 
 
+def word_shingles(col, n: int = 3):
+    """Distinct word n-gram shingles (JVM-side). Shingling is what keeps
+    MinHash discriminative on low-cardinality vocabularies: unigram token
+    sets collide massively when the vocab is small, n-gram shingle space
+    is vocab^n. Texts shorter than n words yield their full token string
+    as a single shingle."""
+    toks = F.filter(F.split(col, r"\s+"), lambda t: F.length(t) > 0)
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    fallback = F.array(F.concat_ws(" ", toks))
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, shingles).otherwise(fallback)
+    )
+
+
 def add_minhash_band_keys(
     df: DataFrame,
     text_col: str,
@@ -53,6 +72,7 @@ def add_minhash_band_keys(
     rows_per_band: int = 4,
     seed: int = 42,
     out: str = "band_key",
+    shingle_n: int | None = None,
 ) -> DataFrame:
     """B4 — MinHash-LSH blocking keys (north-star blocking).
 
@@ -62,9 +82,12 @@ def add_minhash_band_keys(
     a band key is the LSH candidate set; dedup pairs across bands with the
     canonical (sid1<sid2) + distinct.
     """
-    sig = hashing.minhash_signature(
-        tokenize(F.col(text_col)), num_bands * rows_per_band, seed
+    units = (
+        word_shingles(F.col(text_col), shingle_n)
+        if shingle_n
+        else tokenize(F.col(text_col))
     )
+    sig = hashing.minhash_signature(units, num_bands * rows_per_band, seed)
     bands = F.array(*hashing.lsh_band_key_cols(sig, num_bands, rows_per_band))
     return df.withColumn("_bands", bands).select(
         "*", F.explode("_bands").alias(out)

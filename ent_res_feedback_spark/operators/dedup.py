@@ -16,7 +16,11 @@ from pyspark.sql import functions as F
 
 from ent_res_feedback_spark.functions import hashing
 from ent_res_feedback_spark.functions.text import normalize_text_ascii, set_jaccard
-from ent_res_feedback_spark.operators.blocking import add_minhash_band_keys, tokenize
+from ent_res_feedback_spark.operators.blocking import (
+    add_minhash_band_keys,
+    tokenize,
+    word_shingles,
+)
 from ent_res_feedback_spark.operators.pairs import within_block_pairs
 
 
@@ -87,18 +91,20 @@ def minhash_lsh_duplicates(
     rows_per_band: int = 4,
     verify_threshold: float = 0.5,
     seed: int = 42,
+    shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash-LSH near-dup detection: shingle -> minhash -> band ->
-    bucket self-join -> verify with true token jaccard. Emits verified
+    """MinHash-LSH near-dup detection: word-shingle -> minhash -> band ->
+    bucket self-join -> verify with true shingle jaccard. Emits verified
     pairs (id1, id2, jaccard). The band join is the only wide stage; LSH
-    bounds candidate counts so the verify step never sees the quadratic
-    blowup an all-pairs join would."""
+    over n-gram shingles bounds candidate counts even on low-cardinality
+    vocabularies where unigram token sets would all collide."""
     norm = normalize_text_ascii(F.col(text_col))
     slim = docs.select(F.col(id_col), norm.alias("_norm")).withColumn(
-        "tokens", tokenize(F.col("_norm"))
+        "tokens", word_shingles(F.col("_norm"), shingle_n)
     )
     banded = add_minhash_band_keys(
-        slim, "_norm", num_bands=num_bands, rows_per_band=rows_per_band, seed=seed
+        slim, "_norm", num_bands=num_bands, rows_per_band=rows_per_band,
+        seed=seed, shingle_n=shingle_n,
     )
     cands = within_block_pairs(
         banded.select("band_key", id_col, "tokens"),

@@ -70,6 +70,13 @@ def test_ngram_jaccard_pairs_bruteforce(spark):
         assert abs(got[k] - want[k]) < 1e-9
 
 
+def _shingle_set(text, n=3):
+    toks = [t for t in text.split() if t]
+    if len(toks) >= n:
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    return {" ".join(toks)}
+
+
 def test_minhash_lsh_finds_exact_dups_and_verifies(spark):
     df, rows = _mkdocs(spark, n=60)
     out = dedup.minhash_lsh_duplicates(df, verify_threshold=0.999).collect()
@@ -84,9 +91,11 @@ def test_minhash_lsh_finds_exact_dups_and_verifies(spark):
             want.add((a, b))
     assert want <= got
     # and everything returned really passes the verify threshold
+    # (verification jaccard is over word 3-gram shingle sets)
     text_of = dict(rows)
     for a, b in got:
-        assert _token_jaccard(text_of[a], text_of[b]) >= 0.999
+        s1, s2 = _shingle_set(text_of[a]), _shingle_set(text_of[b])
+        assert len(s1 & s2) / len(s1 | s2) >= 0.999
 
 
 def test_simhash_exact_dups_zero_hamming(spark):

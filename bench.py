@@ -83,7 +83,7 @@ def run_headline(sf_dir: str = SF_DIR, cpus: int = CPUS) -> dict:
 
 _SCALING_CHILD = """
 import json, sys, time
-sys.path.insert(0, {repo!r})
+sys.path.insert(0, "@@REPO@@")
 from ent_res_feedback_spark.corpus import CorpusConfig, corpus_to_spark, generate_corpus
 from ent_res_feedback_spark.pipeline import ERConfig, run_pipeline
 from ent_res_feedback_spark.session import get_spark
@@ -109,7 +109,7 @@ def run_scaling(n_entities: int = 2500, cores_pair=(8, 32)) -> dict:
     repo = os.path.dirname(os.path.abspath(__file__))
     results = {}
     for cores in cores_pair:
-        script = _SCALING_CHILD.format(repo=repo)
+        script = _SCALING_CHILD.replace("@@REPO@@", repo)
         out = subprocess.run(
             [sys.executable, "-c", script, str(cores), str(n_entities)],
             capture_output=True, text=True, timeout=3600,

@@ -65,6 +65,40 @@ def word_shingles(col, n: int = 3):
     )
 
 
+def minhash_signatures_df(
+    df: DataFrame,
+    id_col: str,
+    units_col,
+    num_hashes: int,
+    seed: int = 42,
+    out: str = "minhash_sig",
+) -> DataFrame:
+    """MinHash signatures via explode + hash-once + groupBy(min x k).
+
+    The naive nested column expression (array of k transform/array_min
+    passes over an md5-hashed token array) re-evaluates the token hashing
+    per hash function — measured minutes-per-partition at 5k docs. This
+    form hashes each (id, unit) row exactly ONCE and computes the k
+    minima as ordinary aggregates with map-side partial aggregation: one
+    shuffle keyed by id, linear work, scales to arbitrary corpus size.
+    Values are identical to functions/hashing.minhash_signature and to
+    the DuckDB mirror (sql_minhash_expr).
+    """
+    params = hashing.minhash_params(num_hashes, seed)
+    ex = df.select(F.col(id_col), F.explode(F.array_distinct(units_col)).alias("_u"))
+    hashed = ex.select(id_col, hashing.token_hash32(F.col("_u")).alias("_h"))
+    aggs = [
+        F.min(
+            F.pmod(F.lit(a) * F.col("_h") + F.lit(b), F.lit(hashing.MERSENNE61))
+        ).alias(f"_mh{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = hashed.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[F.col(f"_mh{i}") for i in range(num_hashes)]).alias(out)
+    )
+
+
 def add_minhash_band_keys(
     df: DataFrame,
     text_col: str,
@@ -73,25 +107,39 @@ def add_minhash_band_keys(
     seed: int = 42,
     out: str = "band_key",
     shingle_n: int | None = None,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """B4 — MinHash-LSH blocking keys (north-star blocking).
 
-    tokens -> portable md5 minhash signature (JVM-side, see
-    functions/hashing.py) -> ``num_bands`` band keys -> posexplode so each
-    doc lands in one candidate bucket per band. Downstream all-pairs within
-    a band key is the LSH candidate set; dedup pairs across bands with the
-    canonical (sid1<sid2) + distinct.
+    word-shingles (or tokens) -> portable md5 minhash signature via the
+    explode+agg path (see minhash_signatures_df) -> ``num_bands`` band
+    keys -> explode so each doc lands in one candidate bucket per band.
+    Downstream all-pairs within a band key is the LSH candidate set;
+    dedup across bands with the canonical (sid1<sid2) + distinct.
     """
     units = (
         word_shingles(F.col(text_col), shingle_n)
         if shingle_n
         else tokenize(F.col(text_col))
     )
-    sig = hashing.minhash_signature(units, num_bands * rows_per_band, seed)
-    bands = F.array(*hashing.lsh_band_key_cols(sig, num_bands, rows_per_band))
-    return df.withColumn("_bands", bands).select(
-        "*", F.explode("_bands").alias(out)
-    ).drop("_bands")
+    sigs = minhash_signatures_df(
+        df.select(id_col, units.alias("_units")),
+        id_col,
+        F.col("_units"),
+        num_bands * rows_per_band,
+        seed,
+    )
+    bands = sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *hashing.lsh_band_key_cols(
+                    F.col("minhash_sig"), num_bands, rows_per_band
+                )
+            )
+        ).alias(out),
+    )
+    return df.join(bands, id_col)
 
 
 def hot_blocks(

@@ -84,19 +84,27 @@ def run_headline(sf_dir: str = SF_DIR, cpus: int = CPUS) -> dict:
 _SCALING_CHILD = """
 import json, sys, time
 sys.path.insert(0, "@@REPO@@")
-from ent_res_feedback_spark.corpus import CorpusConfig, corpus_to_spark, generate_corpus
+from ent_res_feedback_spark.corpus import spark_corpus
 from ent_res_feedback_spark.pipeline import ERConfig, run_pipeline
 from ent_res_feedback_spark.session import get_spark
 
 cores = int(sys.argv[1])
 n_entities = int(sys.argv[2])
 spark = get_spark("er-scaling", cores=cores)
-documents, gold, labeled = generate_corpus(
-    CorpusConfig(n_entities=n_entities, max_docs_per_entity=8, seed=42))
-docs = corpus_to_spark(spark, documents).repartition(cores * 2).cache()
+# Distributed corpus generation (corpus.spark_corpus): identical documents
+# regardless of parallelism (hash-seeded), cached before the timed window.
+docs, _gold = spark_corpus(spark, n_entities)
+docs = docs.repartition(cores * 2).cache()
 n = docs.count()
+cfg = ERConfig(salt_threshold=800, num_salt_buckets=8)
+# Steady-state protocol: one untimed warm-up run on a 2% slice (JVM JIT +
+# Janino codegen + Python-worker module imports are one-time costs that
+# amortize to zero on real corpora — measured 110s first run vs 8s
+# steady-state), then the timed full run. Identical for both arms.
+warm, _ = spark_corpus(spark, max(n_entities // 50, 2000))
+run_pipeline(warm.repartition(cores), cfg)
 t0 = time.time()
-res = run_pipeline(docs, ERConfig(salt_threshold=500, num_salt_buckets=8))
+res = run_pipeline(docs, cfg)
 n_clusters = res["metrics"]["n_clusters"]
 wall = time.time() - t0
 print("RESULT " + json.dumps({
@@ -105,7 +113,7 @@ print("RESULT " + json.dumps({
 """
 
 
-def run_scaling(n_entities: int = 2500, cores_pair=(8, 32)) -> dict:
+def run_scaling(n_entities: int = 300000, cores_pair=(8, 32)) -> dict:
     repo = os.path.dirname(os.path.abspath(__file__))
     results = {}
     for cores in cores_pair:

@@ -44,6 +44,7 @@ LAST_NAMES = [
     "kowalski", "okafor", "haddad", "nguyen", "silva", "oconnor", "abdul",
     "tanaka", "rossi", "dubois", "larsen", "novak", "petrov",
 ]
+LAST_NAME_SUFFIXES = ["son", "sen", "ov", "ini", "escu", "berg", "feld", "mann"]
 AFFIL_DEPTS = [
     "computer", "physics", "mathematics", "biology", "chemistry",
     "statistics", "linguistics", "economics", "neuroscience", "astronomy",
@@ -68,6 +69,8 @@ class CorpusConfig:
     hot_block_entities: int = 12  # entities stacked into ONE hot block
     hot_block_boost: int = 4      # extra doc multiplier inside the hot block
     media_spans_per_doc: int = 2
+    emit_labeled_pairs: bool = True  # False skips the O(sum block^2) driver
+    # loop — benchmark corpora only need the documents
 
 
 def _variant_first(rng: random.Random, first: str) -> str:
@@ -106,11 +109,25 @@ def generate_corpus(config: CorpusConfig | None = None):
             first = hot_pool[e % len(hot_pool)]
             last = hot_last
         else:
-            while True:
+            # unique (first, last) per entity; the base pool is ~700 combos,
+            # so large corpora extend the surname space with deterministic
+            # suffixes (alphabetic — they must survive normalization)
+            for attempt in range(1000):
                 first = rng.choice(FIRST_NAMES)
                 last = rng.choice(LAST_NAMES[1:])
+                if attempt >= 20:
+                    last = last + rng.choice(LAST_NAME_SUFFIXES)
+                if attempt >= 200:
+                    last = last + rng.choice(LAST_NAME_SUFFIXES) + rng.choice(
+                        LAST_NAME_SUFFIXES
+                    )
                 if (first, last) not in used_names:
                     break
+            else:
+                raise ValueError(
+                    f"could not find a unique name for entity {e}; "
+                    "name space exhausted"
+                )
         used_names.add((first, last))
         middle = rng.choice(MIDDLE_NAMES)
         # 3-token affiliation: 1280 combos -> cross-entity collisions are
@@ -152,6 +169,9 @@ def generate_corpus(config: CorpusConfig | None = None):
             documents.append({"doc_id": doc_id, "spans": spans})
             gold.append((doc_id, f"e{ent['eid']}"))
 
+    if not cfg.emit_labeled_pairs:
+        return documents, gold, []
+
     # labeled pairs: all within-block pairs under the reference blocking key
     # (first-initial + last name on the normalized, honorific-stripped name)
     from ent_res_feedback_spark.oracle import extract_mention_py
@@ -185,3 +205,123 @@ DOCUMENTS_SCHEMA = (
 def corpus_to_spark(spark, documents):
     rows = [(d["doc_id"], d["spans"]) for d in documents]
     return spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Distributed generator: same document structure, synthesized entirely in
+# Spark (hash-seeded pseudo-randomness — deterministic, no rand()). This is
+# the scale path: the Python generator above tops out around 10^6 docs;
+# this one generates 10^9+ docs as a narrow pipeline and is what the
+# scaling benchmark uses.
+# ---------------------------------------------------------------------------
+
+def spark_corpus(
+    spark,
+    n_entities: int,
+    max_docs_per_entity: int = 10,
+    hot_block_entities: int = 12,
+    hot_block_boost: int = 4,
+    initial_variant_pct: int = 25,
+    honorific_pct: int = 10,
+    affil_missing_pct: int = 10,
+    seed: int = 42,
+):
+    """documents(doc_id, spans) + gold(doc_id, cluster_id), generated
+    distributively. Entity attributes and per-doc noise derive from
+    xxhash64(eid/doc, tag, seed) — fully deterministic and partition-
+    independent. Surname space = base x suffix x suffix (~1200 names), so
+    block density stays realistic as n_entities grows; the first
+    ``hot_block_entities`` entities are forced into ONE hot block with a
+    ``hot_block_boost`` document multiplier (skew realism)."""
+    from pyspark.sql import functions as F
+
+    def arr(values):
+        return F.array(*[F.lit(v) for v in values])
+
+    def pick(values, col, tag):
+        h = F.pmod(F.xxhash64(col, F.lit(seed), F.lit(tag)), F.lit(len(values)))
+        return F.element_at(arr(values), h.cast("int") + 1)
+
+    ent = spark.range(n_entities).withColumnRenamed("id", "eid")
+    is_hot = F.col("eid") < hot_block_entities
+    hot_firsts = [f for f in FIRST_NAMES if f[0] == FIRST_NAMES[0][0]]
+
+    first = F.when(is_hot, pick(hot_firsts, F.col("eid"), "hf")).otherwise(
+        pick(FIRST_NAMES, F.col("eid"), "f")
+    )
+    last = F.when(is_hot, F.lit(LAST_NAMES[0])).otherwise(
+        F.concat(
+            pick(LAST_NAMES[1:], F.col("eid"), "l"),
+            pick(LAST_NAME_SUFFIXES, F.col("eid"), "ls1"),
+            pick(LAST_NAME_SUFFIXES, F.col("eid"), "ls2"),
+        )
+    )
+    middle = pick(MIDDLE_NAMES, F.col("eid"), "m")
+    affil = F.concat_ws(
+        " ",
+        pick(AFFIL_DEPTS, F.col("eid"), "a1"),
+        pick(AFFIL_KINDS, F.col("eid"), "a2"),
+        pick(AFFIL_CODES, F.col("eid"), "a3"),
+    )
+    n_docs = (
+        F.pmod(F.xxhash64(F.col("eid"), F.lit(seed), F.lit("n")), F.lit(max_docs_per_entity))
+        .cast("int")
+        + 1
+    ) * F.when(is_hot, F.lit(hot_block_boost)).otherwise(F.lit(1))
+
+    ent = ent.select(
+        "eid",
+        first.alias("first"),
+        last.alias("last"),
+        middle.alias("middle"),
+        affil.alias("affil"),
+        n_docs.alias("n_docs"),
+    )
+
+    docs = ent.select(
+        "*", F.explode(F.sequence(F.lit(0), F.col("n_docs") - 1)).alias("k")
+    )
+    doc_key = F.xxhash64(F.col("eid"), F.col("k"), F.lit(seed))
+    roll = lambda tag: F.pmod(  # noqa: E731
+        F.xxhash64(F.col("eid"), F.col("k"), F.lit(seed), F.lit(tag)), F.lit(100)
+    )
+    first_v = (
+        F.when(roll("iv") < initial_variant_pct, F.substring("first", 1, 1))
+        .when(roll("hv") < honorific_pct, F.concat(F.lit("Dr "), F.col("first")))
+        .otherwise(F.col("first"))
+    )
+    middle_v = F.when(roll("mv") < 30, F.lit("")).otherwise(F.col("middle"))
+    affil_v = F.when(roll("av") < affil_missing_pct, F.lit("")).otherwise(
+        F.col("affil")
+    )
+    name = F.trim(
+        F.regexp_replace(
+            F.concat_ws(" ", first_v, middle_v, F.col("last")), r"\s+", " "
+        )
+    )
+    title = F.concat_ws(
+        " ",
+        *[pick(TITLE_WORDS, doc_key + F.lit(i), f"t{i}") for i in range(4)],
+    )
+    doc_id = F.format_string(
+        "d%012d", F.col("eid") * (max_docs_per_entity * hot_block_boost) + F.col("k")
+    )
+    span = lambda kind, text, ref, off: F.struct(  # noqa: E731
+        F.lit(kind).alias("kind"),
+        (text if text is not None else F.lit(None).cast("string")).alias("text"),
+        (ref if ref is not None else F.lit(None).cast("string")).alias("media_ref"),
+        F.lit(off).cast("int").alias("offset"),
+    )
+    out = docs.select(
+        doc_id.alias("doc_id"),
+        F.array(
+            span("text", name, None, 0),
+            span("text", affil_v, None, 1),
+            span("media", None, F.concat(F.lit("media://"), doc_id, F.lit("/0")), 2),
+            span("text", title, None, 3),
+            span("media", None, F.concat(F.lit("media://"), doc_id, F.lit("/1")), 4),
+        ).alias("spans"),
+        F.concat(F.lit("e"), F.col("eid").cast("string")).alias("_gold_entity"),
+    )
+    gold = out.select("doc_id", F.col("_gold_entity").alias("cluster_id"))
+    return out.drop("_gold_entity"), gold

@@ -1,0 +1,116 @@
+"""Per-block agglomerative clustering — the reference-parity path
+(SURVEY.md CL2/CL3; reference FastCluster, s2and/model.py:992-1095).
+
+Production clustering is threshold + connected components (operators/cc:
+single linkage at tau, massively parallel). This module reproduces the
+reference's AVERAGE-linkage HAC with a flat cut at ``eps`` so parity
+harnesses can compare decisions per block. It runs as ``applyInPandas``
+over block groups: blocks are small by construction (the pair cap / salt
+census bounds them), so an O(n^3) numpy HAC per block is cheap and the
+parallelism unit is the block — the same shape the reference gets from
+fastcluster, without scipy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def hac_average_linkage(dist: np.ndarray, eps: float) -> np.ndarray:
+    """Average-linkage agglomerative clustering on a square distance
+    matrix; merge while the minimum average inter-cluster distance is
+    <= eps (scipy ``fcluster(t=eps, criterion='distance')`` semantics on
+    an average-linkage tree). Returns integer labels."""
+    n = dist.shape[0]
+    if n == 0:
+        return np.array([], dtype=int)
+    # cluster bookkeeping: active flag, member counts, average distances
+    d = dist.astype(np.float64).copy()
+    np.fill_diagonal(d, np.inf)
+    active = np.ones(n, dtype=bool)
+    size = np.ones(n, dtype=np.int64)
+    members: list[list[int]] = [[i] for i in range(n)]
+    while active.sum() > 1:
+        sub = np.where(active)[0]
+        dd = d[np.ix_(sub, sub)]
+        k = np.argmin(dd)
+        i, j = divmod(k, dd.shape[1])
+        if dd[i, j] > eps:
+            break
+        a, b = sub[i], sub[j]
+        # average linkage update: d(new, x) = (na*d(a,x) + nb*d(b,x)) / (na+nb)
+        na, nb = size[a], size[b]
+        for x in sub:
+            if x == a or x == b:
+                continue
+            d[a, x] = d[x, a] = (na * d[a, x] + nb * d[b, x]) / (na + nb)
+        size[a] = na + nb
+        members[a].extend(members[b])
+        active[b] = False
+        d[b, :] = np.inf
+        d[:, b] = np.inf
+    labels = np.empty(n, dtype=int)
+    for lab, root in enumerate(np.where(active)[0]):
+        for m in members[root]:
+            labels[m] = lab
+    return labels
+
+
+def cluster_blocks_hac(
+    scored_pairs: DataFrame,
+    eps: float = 0.5,
+    block_col: str = "block_key",
+    id_cols: tuple[str, str] = ("doc_id_1", "doc_id_2"),
+    dist_col: str = "dist",
+    missing_dist: float = 1.0,
+) -> DataFrame:
+    """CL3 — per-block HAC over the scored pair frame -> (doc_id,
+    cluster_id) with cluster_id = '<block>_<label>' (reference emits
+    block-qualified labels, model.py:529). Pairs absent from the frame
+    (e.g. capped) default to ``missing_dist``."""
+    id1, id2 = id_cols
+    out_schema = "doc_id string, cluster_id string"
+
+    def one_block(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        block = key[0]
+        ids = sorted(set(pdf[id1]) | set(pdf[id2]))
+        idx = {x: i for i, x in enumerate(ids)}
+        n = len(ids)
+        dist = np.full((n, n), missing_dist, dtype=np.float64)
+        np.fill_diagonal(dist, 0.0)
+        for a, b, dv in zip(pdf[id1], pdf[id2], pdf[dist_col]):
+            i, j = idx[a], idx[b]
+            v = missing_dist if dv is None or np.isnan(dv) else float(dv)
+            dist[i, j] = dist[j, i] = v
+        labels = hac_average_linkage(dist, eps)
+        return pd.DataFrame(
+            {"doc_id": ids, "cluster_id": [f"{block}_{l}" for l in labels]}
+        )
+
+    slim = scored_pairs.select(block_col, id1, id2, dist_col)
+    return slim.groupBy(block_col).applyInPandas(one_block, out_schema)
+
+
+def tune_eps(
+    scored_pairs: DataFrame,
+    gold: DataFrame,
+    candidate_quantiles: list[float] | None = None,
+    block_col: str = "block_key",
+) -> tuple[float, dict]:
+    """CL4/CL9 — eps tuning: candidate thresholds from approxQuantile over
+    observed distances (the Spark restatement of the reference's
+    KMeans-over-distances candidate generation, hac_inference.py:56-57),
+    scored by B3 F1 against ``gold`` in a driver grid loop."""
+    from ent_res_feedback_spark.operators.metrics import b3
+
+    qs = candidate_quantiles or [0.1, 0.25, 0.5, 0.75, 0.9]
+    cands = scored_pairs.approxQuantile("dist", qs, 0.01)
+    best = (None, -1.0, None)
+    for eps in sorted(set(round(c, 4) for c in cands)):
+        pred = cluster_blocks_hac(scored_pairs, eps=eps, block_col=block_col)
+        m = b3(pred, gold)
+        if m["f1"] > best[1]:
+            best = (eps, m["f1"], m)
+    return best[0], {"f1": best[1], "metrics": best[2]}

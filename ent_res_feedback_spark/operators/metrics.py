@@ -75,6 +75,124 @@ def b3(pred: DataFrame, gold: DataFrame, id_col: str = "doc_id") -> dict:
     return {"precision": precision, "recall": recall, "f1": f1}
 
 
+def cmacro_pairwise_f1(
+    pred: DataFrame, gold: DataFrame, blocks: DataFrame, id_col: str = "doc_id"
+) -> dict:
+    """A3 — pairwise F1 computed per block then macro-averaged (reference
+    eval.py:786-868). ``blocks``: (id, block_key). All per-block P/R/F1
+    fall out of one grouped aggregation over the block-qualified
+    contingency — no per-block loop."""
+    p = pred.select(F.col(id_col).alias("id"), F.col("cluster_id").alias("pc"))
+    g = gold.select(F.col(id_col).alias("id"), F.col("cluster_id").alias("gc"))
+    b = blocks.select(F.col(id_col).alias("id"), "block_key")
+    j = p.join(g, "id").join(b, "id")
+
+    def pairs_by(cols):
+        return (
+            j.groupBy("block_key", *cols)
+            .count()
+            .groupBy("block_key")
+            .agg(F.sum(F.col("count") * (F.col("count") + 1) / 2).alias("s"))
+        )
+
+    np_ = pairs_by(["pc"]).withColumnRenamed("s", "n_pred")
+    ng = pairs_by(["gc"]).withColumnRenamed("s", "n_gold")
+    nb = pairs_by(["pc", "gc"]).withColumnRenamed("s", "n_both")
+    per_block = np_.join(ng, "block_key").join(nb, "block_key").select(
+        "block_key",
+        (F.col("n_both") / F.col("n_pred")).alias("p"),
+        (F.col("n_both") / F.col("n_gold")).alias("r"),
+    )
+    per_block = per_block.withColumn(
+        "f1",
+        F.when(
+            F.col("p") + F.col("r") > 0,
+            2 * F.col("p") * F.col("r") / (F.col("p") + F.col("r")),
+        ).otherwise(F.lit(0.0)),
+    )
+    row = per_block.agg(
+        F.avg("p").alias("precision"), F.avg("r").alias("recall"), F.avg("f1").alias("f1")
+    ).collect()[0]
+    return {k: float(row[k]) for k in ("precision", "recall", "f1")}
+
+
+def v_measure(pred: DataFrame, gold: DataFrame, id_col: str = "doc_id") -> float:
+    """A4 — v-measure (homogeneity/completeness harmonic mean; reference
+    uses sklearn v_measure_score, e2e_scripts/evaluate.py:75). Entropies
+    from the contingency table via groupBy aggregations."""
+    import math
+
+    p = pred.select(F.col(id_col).alias("id"), F.col("cluster_id").alias("pc"))
+    g = gold.select(F.col(id_col).alias("id"), F.col("cluster_id").alias("gc"))
+    j = p.join(g, "id")
+    n = j.count()
+    if n == 0:
+        return 1.0
+    cont = {(r["pc"], r["gc"]): r["count"] for r in j.groupBy("pc", "gc").count().collect()}
+    pc_tot: dict = {}
+    gc_tot: dict = {}
+    for (pc, gc), c in cont.items():
+        pc_tot[pc] = pc_tot.get(pc, 0) + c
+        gc_tot[gc] = gc_tot.get(gc, 0) + c
+    h_c = -sum(c / n * math.log(c / n) for c in gc_tot.values() if c)
+    h_k = -sum(c / n * math.log(c / n) for c in pc_tot.values() if c)
+    h_c_k = -sum(
+        c / n * math.log(c / pc_tot[pc]) for (pc, _), c in cont.items() if c
+    )
+    h_k_c = -sum(
+        c / n * math.log(c / gc_tot[gc]) for (_, gc), c in cont.items() if c
+    )
+    hom = 1.0 if h_c == 0 else 1.0 - h_c_k / h_c
+    com = 1.0 if h_k == 0 else 1.0 - h_k_c / h_k
+    return 0.0 if hom + com == 0 else 2 * hom * com / (hom + com)
+
+
+def facet_eval(
+    pred: DataFrame,
+    gold: DataFrame,
+    facets: DataFrame,
+    facet_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """A6 — B3-F1 bucketed by a facet column (reference eval.py:196-427):
+    per-item B3 precision/recall from the contingency join, averaged per
+    facet bucket. Returns (facet, precision, recall, f1, n)."""
+    p = pred.select(F.col(id_col).alias("id"), F.col("cluster_id").alias("pc"))
+    g = gold.select(F.col(id_col).alias("id"), F.col("cluster_id").alias("gc"))
+    fct = facets.select(F.col(id_col).alias("id"), F.col(facet_col).alias("facet"))
+    j = p.join(g, "id")
+    cont = j.groupBy("pc", "gc").count().withColumnRenamed("count", "npg")
+    psize = j.groupBy("pc").count().withColumnRenamed("count", "np")
+    gsize = j.groupBy("gc").count().withColumnRenamed("count", "ng")
+    per_item = (
+        j.join(cont, ["pc", "gc"])
+        .join(psize, "pc")
+        .join(gsize, "gc")
+        .select(
+            "id",
+            (F.col("npg") / F.col("np")).alias("p_i"),
+            (F.col("npg") / F.col("ng")).alias("r_i"),
+        )
+    )
+    out = (
+        per_item.join(fct, "id")
+        .groupBy("facet")
+        .agg(
+            F.avg("p_i").alias("precision"),
+            F.avg("r_i").alias("recall"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return out.withColumn(
+        "f1",
+        F.when(
+            F.col("precision") + F.col("recall") > 0,
+            2 * F.col("precision") * F.col("recall")
+            / (F.col("precision") + F.col("recall")),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
 def pairwise_cluster_prf(pred: DataFrame, gold: DataFrame, id_col: str = "doc_id") -> dict:
     """A2 — P/R/F1 over all intra-cluster pairs, counting each item's
     self-pair (the singleton correction of arXiv:1808.04216 used by the

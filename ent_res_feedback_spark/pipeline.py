@@ -54,16 +54,27 @@ class ERConfig:
 
 
 def scored_pair_distances(
-    docs: DataFrame, config: ERConfig | None = None, seeds: DataFrame | None = None
+    docs: DataFrame,
+    config: ERConfig | None = None,
+    seeds: DataFrame | None = None,
+    mentions: DataFrame | None = None,
 ) -> DataFrame:
     """documents -> (doc_id_1, doc_id_2, block_key, score, constraint_dist,
     dist). The reusable first half of the pipeline (feedback re-scores it
     per affected block)."""
     cfg = config or ERConfig()
-    mentions = extract_mentions(docs, ascii_fast_path=cfg.ascii_fast_path)
+    if mentions is None:
+        mentions = extract_mentions(docs, ascii_fast_path=cfg.ascii_fast_path)
     # nameless (e.g. media-only) documents carry no match evidence: exclude
     # from pairing — they'd otherwise all collide in block "" (quadratic).
-    slim = mentions.select(*MENTION_COLS).where(F.length("block_key") > 0)
+    # Persist: this narrow UDF-derived frame feeds the census, the hot/cold
+    # split, AND both join sides — without persistence the unicode-fold UDF
+    # subtree re-executes for every consumer (measured 2-3x pipeline wall).
+    slim = (
+        mentions.select(*MENTION_COLS)
+        .where(F.length("block_key") > 0)
+        .persist()
+    )
     pairs = within_block_pairs(
         slim,
         key="block_key",
@@ -112,7 +123,11 @@ def run_pipeline(
     cfg = config or ERConfig()
     t0 = time.time()
 
-    scored = scored_pair_distances(docs, cfg, seeds)
+    # scored is consumed ONCE on the main path (edge filter) — persisting it
+    # would spill the full pair frame (O(pairs) bytes) for no reuse; callers
+    # that iterate (the feedback loop) checkpoint it themselves.
+    mentions = extract_mentions(docs, ascii_fast_path=cfg.ascii_fast_path)
+    scored = scored_pair_distances(docs, cfg, seeds, mentions=mentions)
     edges = scored.where(F.col("dist") <= (1.0 - cfg.tau)).select(
         F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst")
     )
@@ -121,7 +136,6 @@ def run_pipeline(
         assignments, docs, "doc_id"
     ).withColumnRenamed("component", "cluster_id")
 
-    mentions = extract_mentions(docs, ascii_fast_path=cfg.ascii_fast_path)
     census = block_census(mentions.select(*MENTION_COLS))
     lineage = census.withColumn(
         "salted",

@@ -45,6 +45,31 @@ def test_jaro_winkler_matches_duckdb(a, b):
     assert S.jaro_winkler_similarity(a, b) == pytest.approx(d, abs=1e-12)
 
 
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcdxyz", max_size=12),
+            st.text(alphabet="abcdxyz", max_size=12),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_numpy_kernels_match_scalar(pairs):
+    """The vectorized batch kernels must be EXACTLY the scalar semantics
+    (which are pinned to DuckDB) — the whole oracle chain hangs on this."""
+    a = [x for x, _ in pairs]
+    b = [y for _, y in pairs]
+    jw = S._jaro_winkler_numpy(a, b)
+    pf = S._prefix_dist_numpy(a, b)
+    lc = S._metric_lcs_numpy(a, b)
+    for i, (x, y) in enumerate(pairs):
+        assert jw[i] == pytest.approx(S.jaro_winkler_similarity(x, y), abs=1e-12)
+        assert pf[i] == pytest.approx(S.prefix_dist_kernel(x, y), abs=1e-12)
+        assert lc[i] == pytest.approx(S.metric_lcs_kernel(x, y), abs=1e-12)
+
+
 @settings(max_examples=200, deadline=None)
 @given(
     st.text(alphabet="abcdef", max_size=12),

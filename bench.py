@@ -20,6 +20,7 @@ import os
 import subprocess
 import sys
 import time
+from shutil import which as shutil_which
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -90,7 +91,12 @@ from ent_res_feedback_spark.session import get_spark
 
 cores = int(sys.argv[1])
 n_entities = int(sys.argv[2])
-spark = get_spark("er-scaling", cores=cores)
+import os as _os
+extra = {}
+if _os.path.isdir("/dev/shm"):
+    _os.makedirs("/dev/shm/spark-tmp", exist_ok=True)
+    extra["spark.local.dir"] = "/dev/shm/spark-tmp"
+spark = get_spark("er-scaling", cores=cores, extra_conf=extra)
 # Distributed corpus generation (corpus.spark_corpus): identical documents
 # regardless of parallelism (hash-seeded), cached before the timed window.
 docs, _gold = spark_corpus(spark, n_entities)
@@ -118,10 +124,15 @@ def run_scaling(n_entities: int = 300000, cores_pair=(8, 32)) -> dict:
     results = {}
     for cores in cores_pair:
         script = _SCALING_CHILD.replace("@@REPO@@", repo)
-        out = subprocess.run(
-            [sys.executable, "-c", script, str(cores), str(n_entities)],
-            capture_output=True, text=True, timeout=3600,
-        )
+        cmd = [sys.executable, "-c", script, str(cores), str(n_entities)]
+        # CPU-pin each arm to exactly `cores` CPUs: an N-core run on an
+        # M-core box would otherwise spill its Python UDF workers onto the
+        # idle cores, overstating N-core throughput (a cluster executor
+        # with N cores has no such spare capacity). taskset makes local[N]
+        # an honest N-core-node proxy.
+        if shutil_which("taskset") and (os.cpu_count() or 0) >= cores:
+            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("RESULT ")]
         if not line:
             raise RuntimeError(

@@ -69,19 +69,20 @@ class IncrementalAssigner:
             )
             new_docs = existing_docs.unionByName(fresh)
 
-        # atomic replace (write to tmp, swap) — crash between swaps leaves
-        # the previous consistent state in place
-        for df, path in ((new_docs, self._docs_path), (clusters, self._assign_path)):
-            tmp = path + ".tmp"
-            df.write.mode("overwrite").parquet(tmp)
+        # atomic replace: BOTH outputs are fully written to tmp paths before
+        # either swap (their lineage lazily reads the current state dirs, so
+        # swapping early would yank files out from under the second write)
+        targets = ((new_docs, self._docs_path), (clusters, self._assign_path))
+        for df, path in targets:
+            df.write.mode("overwrite").parquet(path + ".tmp")
+        import shutil
+
+        for _, path in targets:
             bak = path + ".old"
             if os.path.exists(path):
                 os.replace(path, bak)
-            os.replace(tmp, path)
-            if os.path.exists(bak):
-                import shutil
-
-                shutil.rmtree(bak, ignore_errors=True)
+            os.replace(path + ".tmp", path)
+            shutil.rmtree(bak, ignore_errors=True)
 
     def attach(self, stream_df: DataFrame, checkpoint: str, **options):
         """Wire onto a streaming DataFrame of documents(doc_id, spans)."""

@@ -102,10 +102,7 @@ spark = get_spark("er-scaling", cores=cores, extra_conf=extra)
 docs, _gold = spark_corpus(spark, n_entities)
 docs = docs.repartition(cores * 2).cache()
 n = docs.count()
-# ascii_fast_path: the bench corpus is ASCII by construction, so the
-# unicode-fold UDF is pure overhead here (real deployments profile their
-# corpus and set this accordingly)
-cfg = ERConfig(salt_threshold=800, num_salt_buckets=8, ascii_fast_path=True)
+cfg = ERConfig(salt_threshold=800, num_salt_buckets=8)
 # Steady-state protocol: one untimed warm-up run on a 2% slice (JVM JIT +
 # Janino codegen + Python-worker module imports are one-time costs that
 # amortize to zero on real corpora — measured 110s first run vs 8s

@@ -102,17 +102,32 @@ spark = get_spark("er-scaling", cores=cores, extra_conf=extra)
 docs, _gold = spark_corpus(spark, n_entities)
 docs = docs.repartition(cores * 2).cache()
 n = docs.count()
-cfg = ERConfig(salt_threshold=800, num_salt_buckets=8)
-# Steady-state protocol: one untimed warm-up run on a 2% slice (JVM JIT +
-# Janino codegen + Python-worker module imports are one-time costs that
-# amortize to zero on real corpora — measured 110s first run vs 8s
-# steady-state), then the timed full run. Identical for both arms.
-warm, _ = spark_corpus(spark, max(n_entities // 50, 2000))
-run_pipeline(warm.repartition(cores), cfg)
+from pyspark.sql import functions as F
+from ent_res_feedback_spark.operators.cc import (
+    components_with_singletons, connected_components)
+from ent_res_feedback_spark.pipeline import scored_pair_distances
+
+def er_job(d, out_path):
+    # the realistic job shape: documents -> clusters table written to
+    # parquet (ONE sink action), exactly what jobs/run_er_job.py ships
+    cfg = ERConfig(salt_threshold=800, num_salt_buckets=8)
+    scored = scored_pair_distances(d, cfg)
+    edges = scored.where(F.col("dist") <= (1.0 - cfg.tau)).select(
+        F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst"))
+    assign = connected_components(edges)
+    clusters = components_with_singletons(assign, d.select("doc_id"), "doc_id")
+    clusters.write.mode("overwrite").parquet(out_path)
+
+# Steady-state protocol: one untimed full warm-up run (JVM JIT + Janino
+# codegen + Python-worker module imports are one-time costs that amortize
+# to zero on real corpora — measured 110s first run vs 8s steady-state),
+# then the timed full run. Identical for both arms.
+er_job(docs, "/tmp/er_scaling_warm_%d" % cores)
 t0 = time.time()
-res = run_pipeline(docs, cfg)
-n_clusters = res["metrics"]["n_clusters"]
+er_job(docs, "/tmp/er_scaling_out_%d" % cores)
 wall = time.time() - t0
+n_clusters = spark.read.parquet("/tmp/er_scaling_out_%d" % cores).select(
+    "component").distinct().count()
 print("RESULT " + json.dumps({
     "cores": cores, "docs": n, "wall_sec": round(wall, 3),
     "docs_per_sec": round(n / wall, 3), "n_clusters": n_clusters}))

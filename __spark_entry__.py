@@ -125,26 +125,167 @@ def _er_weights() -> dict:
     return {"jw": 2.0, "lev_sim": 1.0, "tok_jaccard": 4.0, "bias": -4.0}
 
 
-def _er_pair_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ent_res_feedback_spark.functions.strdist import jaro_winkler, levenshtein_norm
-    from ent_res_feedback_spark.functions.text import set_jaccard
-    from ent_res_feedback_spark.operators.blocking import tokenize
-    from ent_res_feedback_spark.operators.pairs import within_block_pairs
+def _score_sql(a: str, b: str) -> str:
+    """DuckDB score expression over two aliases carrying first_tok/tokens
+    (mirror of _feature_cols + _score_col, incl. the per-feature round)."""
+    f1, f2 = f"{a}.first_tok", f"{b}.first_tok"
+    t1, t2 = f"{a}.tokens", f"{b}.tokens"
+    jw = f"round(jaro_winkler_similarity({f1}, {f2}), 6)"
+    lev = (
+        f"round(1.0 - levenshtein({f1}, {f2})::DOUBLE / "
+        f"greatest(length({f1}), length({f2})), 6)"
+    )
+    tj = (
+        f"round(len(list_intersect(list_distinct({t1}), list_distinct({t2})))::DOUBLE"
+        f" / len(list_distinct(list_concat({t1}, {t2}))), 6)"
+    )
+    return f"round(1.0 / (1.0 + exp(-(-4.0 + 2.0*{jw} + 1.0*{lev} + 4.0*{tj}))), 6)"
 
-    d = _docs_with_block(spark, sf_dir).select(
+
+def _ann_lsh_sql(
+    k: int = 3, num_planes: int = 4, num_tables: int = 4, dim: int = 64,
+    seed: int = 42,
+) -> str:
+    """DuckDB replay of operators/similarity.ann_topk_lsh: the hyperplanes
+    are regenerated with the SAME numpy seed schedule and inlined as
+    double literals (shortest round-trip repr parses to the identical
+    double), so bucket membership matches Spark bit-for-bit."""
+    import numpy as np
+
+    key_exprs = []
+    for t in range(num_tables):
+        rng = np.random.default_rng(seed + 1000 * t)
+        planes = rng.standard_normal((num_planes, dim))
+        bits = " + ".join(
+            "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
+            + ", ".join(repr(float(x)) for x in planes[i])
+            + "]::DOUBLE[]) >= 0 THEN " + str(1 << i) + " ELSE 0 END)"
+            for i in range(num_planes)
+        )
+        key_exprs.append(f"'{t}:' || ({bits})::BIGINT::VARCHAR")
+    return f"""
+WITH b AS (
+  SELECT vec_id, unnest([{', '.join(key_exprs)}]) AS lsh_key
+  FROM embeddings
+),
+cands AS (
+  SELECT DISTINCT a.vec_id AS id, c.vec_id AS neighbor_id
+  FROM b a JOIN b c USING (lsh_key)
+  WHERE a.vec_id != c.vec_id
+),
+scored AS (
+  SELECT p.id, p.neighbor_id,
+         list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[])
+           AS cos
+  FROM cands p
+  JOIN embeddings e1 ON p.id = e1.vec_id
+  JOIN embeddings e2 ON p.neighbor_id = e2.vec_id
+),
+ranked AS (
+  SELECT id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY id ORDER BY cos DESC, neighbor_id ASC)
+           AS rank
+  FROM scored
+)
+SELECT id::BIGINT AS vec_id, neighbor_id::BIGINT AS neighbor_id,
+       round(cos, 6) AS cosine, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def _incremental_sql() -> str:
+    """DuckDB replay of q_incremental_assign: batch CC over the 80% split,
+    avg-dist argmin assignment of the 20%, leftover CC."""
+    norm = _NORM.format(col="text")
+    block = _block_sql("text")
+    eps = 1.0 - TAU
+    return f"""
+WITH RECURSIVE
+t AS (
+  SELECT doc_id, {block} AS block_key,
+         string_split({norm}, ' ') AS tokens,
+         string_split({norm}, ' ')[1] AS first_tok
+  FROM documents
+),
+old AS (SELECT * FROM t WHERE doc_id % 5 != 0),
+new AS (SELECT * FROM t WHERE doc_id % 5 = 0),
+old_edges AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM old a JOIN old b USING (block_key)
+  WHERE a.doc_id < b.doc_id AND {_score_sql('a', 'b')} >= {TAU}
+),
+sym AS (SELECT u, v FROM old_edges UNION SELECT v AS u, u AS v FROM old_edges),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+),
+comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u),
+base AS (
+  SELECT o.doc_id, coalesce(c.cluster_id, o.doc_id) AS cluster_id
+  FROM old o LEFT JOIN comp c USING (doc_id)
+),
+cross_d AS (
+  SELECT n.doc_id AS nid, bb.cluster_id, 1.0 - {_score_sql('n', 'o')} AS dist
+  FROM new n JOIN old o USING (block_key)
+  JOIN base bb ON o.doc_id = bb.doc_id
+),
+avg_d AS (
+  SELECT nid, cluster_id, round(avg(dist), 6) AS ad FROM cross_d GROUP BY 1, 2
+),
+best AS (
+  SELECT nid AS doc_id, cluster_id FROM (
+    SELECT nid, cluster_id, ad,
+           row_number() OVER (PARTITION BY nid ORDER BY ad ASC, cluster_id ASC)
+             AS rn
+    FROM avg_d
+  ) WHERE rn = 1 AND ad < {eps}
+),
+leftover AS (SELECT * FROM new WHERE doc_id NOT IN (SELECT doc_id FROM best)),
+lo_edges AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM leftover a JOIN leftover b USING (block_key)
+  WHERE a.doc_id < b.doc_id AND {_score_sql('a', 'b')} >= {TAU}
+),
+lo_sym AS (SELECT u, v FROM lo_edges UNION SELECT v AS u, u AS v FROM lo_edges),
+lo_reach(u, v) AS (
+  SELECT u, v FROM lo_sym
+  UNION
+  SELECT r.u, s.v FROM lo_reach r JOIN lo_sym s ON r.v = s.u
+),
+lo_comp AS (
+  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM lo_reach GROUP BY u
+),
+lo_clusters AS (
+  SELECT l.doc_id, coalesce(c.cluster_id, l.doc_id) AS cluster_id
+  FROM leftover l LEFT JOIN lo_comp c USING (doc_id)
+)
+SELECT doc_id::BIGINT AS doc_id, cluster_id::BIGINT AS cluster_id FROM base
+UNION ALL SELECT doc_id::BIGINT, cluster_id::BIGINT FROM best
+UNION ALL SELECT doc_id::BIGINT, cluster_id::BIGINT FROM lo_clusters
+"""
+
+
+def _doc_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, block_key, first_tok, tokens) — the shared input shape of
+    the simple ER demo stack (batch + incremental)."""
+    from ent_res_feedback_spark.operators.blocking import tokenize
+
+    return _docs_with_block(spark, sf_dir).select(
         "doc_id",
         "block_key",
         F.element_at(F.split("norm_text", " "), 1).alias("first_tok"),
         tokenize(F.col("norm_text")).alias("tokens"),
     )
-    pairs = within_block_pairs(
-        d, key="block_key", id_col="doc_id", salt_threshold=500, num_salt_buckets=4
-    )
+
+
+def _feature_cols() -> list:
+    """jw / lev_sim / tok_jaccard over _1/_2-suffixed first_tok+tokens."""
+    from ent_res_feedback_spark.functions.strdist import jaro_winkler
+    from ent_res_feedback_spark.functions.text import set_jaccard
+
     f1, f2 = F.col("first_tok_1"), F.col("first_tok_2")
-    return pairs.select(
-        "doc_id_1",
-        "doc_id_2",
-        "block_key",
+    return [
         F.round(jaro_winkler(f1, f2), 6).alias("jw"),
         F.round(
             1.0 - F.levenshtein(f1, f2) / F.greatest(F.length(f1), F.length(f2)), 6
@@ -152,24 +293,33 @@ def _er_pair_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(set_jaccard(F.col("tokens_1"), F.col("tokens_2")), 6).alias(
             "tok_jaccard"
         ),
-    )
+    ]
 
 
-def _er_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _score_col() -> F.Column:
     w = _er_weights()
-    feats = _er_pair_features(spark, sf_dir)
     z = (
         F.lit(w["bias"])
         + F.lit(w["jw"]) * F.col("jw")
         + F.lit(w["lev_sim"]) * F.col("lev_sim")
         + F.lit(w["tok_jaccard"]) * F.col("tok_jaccard")
     )
-    return feats.select(
-        "doc_id_1",
-        "doc_id_2",
-        "block_key",
-        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score")
+
+
+def _er_pair_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ent_res_feedback_spark.operators.pairs import within_block_pairs
+
+    d = _doc_feats(spark, sf_dir)
+    pairs = within_block_pairs(
+        d, key="block_key", id_col="doc_id", salt_threshold=500, num_salt_buckets=4
     )
+    return pairs.select("doc_id_1", "doc_id_2", "block_key", *_feature_cols())
+
+
+def _er_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = _er_pair_features(spark, sf_dir)
+    return feats.select("doc_id_1", "doc_id_2", "block_key", _score_col())
 
 
 def _er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -321,6 +471,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lid["lang"].alias("lang"),
         )
 
+    def q_ann_topk_lsh(spark, sf_dir):
+        """Scale-path ANN: multi-table hyperplane LSH buckets -> candidate
+        union -> exact cosine re-rank. Planes are seed-deterministic
+        literals, so DuckDB replays the whole thing hash-exactly."""
+        from ent_res_feedback_spark.operators.similarity import ann_topk_lsh
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        out = ann_topk_lsh(
+            emb, k=3, num_planes=4, num_tables=4, dim=64, seed=42
+        )
+        return out.select(
+            F.col("id").cast("bigint").alias("vec_id"),
+            F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+
     def q_ann_topk(spark, sf_dir):
         from ent_res_feedback_spark.operators.similarity import brute_force_topk
 
@@ -334,28 +501,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_embedding_label_centroid_sim(spark, sf_dir):
-        """Per-label mean vector, then each vector's cosine to its label
-        centroid — a groupBy-agg over array columns."""
-        from ent_res_feedback_spark.functions.vectors import cosine_sim
-
+        """Per-label centroid cosine via posexplode + groupBy(label, dim)
+        — dimension-agnostic (no driver .first() to sniff dim, no n_dim
+        separate aggs; same long shape its DuckDB oracle uses)."""
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        n_dim = len(emb.select("embedding").first()["embedding"])
-        sums = emb.groupBy("label").agg(
-            F.array(
-                *[
-                    F.avg(F.element_at("embedding", i + 1)).alias(f"c{i}")
-                    for i in range(n_dim)
-                ]
-            ).alias("centroid")
-        )
+        exploded = emb.select(
+            "vec_id", "label", F.posexplode("embedding").alias("i", "x")
+        ).withColumn("x", F.col("x").cast("double"))
+        centroids = exploded.groupBy("label", "i").agg(F.avg("x").alias("c"))
         return (
-            emb.join(sums, "label")
+            exploded.join(centroids, ["label", "i"])
+            .groupBy("vec_id", "label")
+            .agg(
+                F.sum(F.col("x") * F.col("c")).alias("dot"),
+                F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("na"),
+                F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nb"),
+            )
             .select(
                 F.col("vec_id").cast("bigint").alias("vec_id"),
                 F.col("label").cast("bigint").alias("label"),
-                F.round(cosine_sim(F.col("embedding"), F.col("centroid")), 6).alias(
-                    "centroid_cosine"
-                ),
+                F.round(
+                    F.when(
+                        (F.col("na") == 0) | (F.col("nb") == 0), F.lit(0.0)
+                    ).otherwise(F.col("dot") / (F.col("na") * F.col("nb"))),
+                    6,
+                ).alias("centroid_cosine"),
             )
         )
 
@@ -400,41 +570,105 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_incremental_assign(spark, sf_dir):
-        """Incremental mode (I1) on the synthetic corpus: batch-cluster
-        80% of docs, assign the remaining 20% incrementally. Not SQL-
-        expressible (avg-distance argmin over the scoring stack) ->
-        rows-only check."""
-        from ent_res_feedback_spark.corpus import (
-            CorpusConfig,
-            corpus_to_spark,
-            generate_corpus,
+        """Incremental mode (I1) over the documents table, fully oracle-
+        checkable: batch-cluster the 80% of docs with doc_id % 5 != 0,
+        then assign the held-out 20% by avg-distance argmin (< eps) via
+        operators.incremental.argmin_assign; leftovers cluster among
+        themselves. Same simple feature stack as er_pair_scores, so DuckDB
+        replays every step (incl. the recursive-CTE connected components).
+        """
+        from ent_res_feedback_spark.operators.cc import (
+            components_with_singletons,
+            connected_components,
         )
-        from ent_res_feedback_spark.operators.incremental import assign_incremental
-        from ent_res_feedback_spark.pipeline import ERConfig, run_pipeline
+        from ent_res_feedback_spark.operators.incremental import argmin_assign
 
-        documents, _, _ = generate_corpus(CorpusConfig(n_entities=30, seed=13))
-        split = int(len(documents) * 0.8)
-        old = corpus_to_spark(spark, documents[:split])
-        new = corpus_to_spark(spark, documents[split:])
-        base = run_pipeline(old, ERConfig())["clusters"].select("doc_id", "cluster_id")
-        return assign_incremental(new, old, base, ERConfig())
+        d = _doc_feats(spark, sf_dir)
+        old_d = d.where(F.col("doc_id") % 5 != 0)
+        new_d = d.where(F.col("doc_id") % 5 == 0)
+
+        def self_scores(sub):
+            a = sub.select(
+                F.col("doc_id").alias("doc_id_1"),
+                F.col("first_tok").alias("first_tok_1"),
+                F.col("tokens").alias("tokens_1"),
+                "block_key",
+            )
+            b = sub.select(
+                F.col("doc_id").alias("doc_id_2"),
+                F.col("first_tok").alias("first_tok_2"),
+                F.col("tokens").alias("tokens_2"),
+                "block_key",
+            )
+            pairs = a.join(b, "block_key").where(F.col("doc_id_1") < F.col("doc_id_2"))
+            return pairs.select("doc_id_1", "doc_id_2", *_feature_cols()).select(
+                "doc_id_1", "doc_id_2", _score_col()
+            )
+
+        def cluster(sub):
+            edges = self_scores(sub).where(F.col("score") >= TAU).select(
+                F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst")
+            )
+            return components_with_singletons(
+                connected_components(edges), sub.select("doc_id"), "doc_id"
+            ).withColumnRenamed("component", "cluster_id")
+
+        base = cluster(old_d)
+
+        cross = (
+            new_d.select(
+                F.col("doc_id").alias("doc_id_1"),
+                F.col("first_tok").alias("first_tok_1"),
+                F.col("tokens").alias("tokens_1"),
+                "block_key",
+            )
+            .join(
+                old_d.select(
+                    F.col("doc_id").alias("doc_id_2"),
+                    F.col("first_tok").alias("first_tok_2"),
+                    F.col("tokens").alias("tokens_2"),
+                    "block_key",
+                ),
+                "block_key",
+            )
+            .select("doc_id_1", "doc_id_2", *_feature_cols())
+            .select("doc_id_1", "doc_id_2", _score_col())
+            .join(
+                base.select(
+                    F.col("doc_id").alias("doc_id_2"), "cluster_id"
+                ),
+                "doc_id_2",
+            )
+            .select("doc_id_1", "cluster_id", (1.0 - F.col("score")).alias("dist"))
+        )
+        best = argmin_assign(cross, eps=1.0 - TAU)
+        leftover_d = new_d.join(best, "doc_id", "left_anti")
+        leftover_clusters = cluster(leftover_d)
+        return (
+            base.unionByName(best)
+            .unionByName(leftover_clusters)
+            .select(
+                F.col("doc_id").cast("bigint").alias("doc_id"),
+                F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            )
+        )
 
     def q_media_features(spark, sf_dir):
-        """Multimodal plumbing (stubbed decoder): spans -> media table ->
-        mapInPandas feature extraction. Rows-only check."""
-        from ent_res_feedback_spark.corpus import (
-            CorpusConfig,
-            corpus_to_spark,
-            generate_corpus,
-        )
+        """Multimodal plumbing (stubbed decoder): documents -> media table
+        (deterministic ref-derived payload) -> Arrow-batched mapInPandas
+        feature extraction -> long form. The sha256-derived fake features
+        are DuckDB-expressible, so this is a full hash-exact check of the
+        binary-column plumbing."""
         from ent_res_feedback_spark.operators.multimodal import (
             extract_media_features,
-            media_from_spans,
+            features_long,
+            media_from_table,
         )
 
-        documents, _, _ = generate_corpus(CorpusConfig(n_entities=10, seed=3))
-        docs = corpus_to_spark(spark, documents)
-        return extract_media_features(media_from_spans(docs))
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_ref")
+        )
+        return features_long(extract_media_features(media_from_table(docs)))
 
     return {
         "er_block_key": q_block_key,
@@ -452,6 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "lang_id": q_lang_id,
         "ann_topk": q_ann_topk,
+        "ann_topk_lsh": q_ann_topk_lsh,
         "embedding_label_centroid_sim": q_embedding_label_centroid_sim,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -615,6 +850,29 @@ FROM dots
 
     return {
         "er_block_key": f"SELECT doc_id, {block} AS block_key FROM documents",
+        # mirror of operators/multimodal.deterministic_fake_features:
+        # sha256(payload) digest tiled to dim*4 bytes -> uint32 LE -> /2^32-1
+        # -> float32; payload = utf-8 of 'm'||doc_id. ::REAL replays the
+        # float32 quantization so round(,6) agrees bit-for-bit.
+        "media_features": """
+WITH b AS (
+  SELECT 'm' || doc_id::VARCHAR AS media_ref,
+         sha256('m' || doc_id::VARCHAR) AS hx
+  FROM documents
+),
+dims AS (SELECT unnest(generate_series(0, 15)) AS i),
+v AS (
+  SELECT media_ref, i,
+    (('0x' || substr(hx, ((4*i)%32)*2+1, 2))::BIGINT
+     + ('0x' || substr(hx, ((4*i)%32+1)*2+1, 2))::BIGINT * 256
+     + ('0x' || substr(hx, ((4*i)%32+2)*2+1, 2))::BIGINT * 65536
+     + ('0x' || substr(hx, ((4*i)%32+3)*2+1, 2))::BIGINT * 16777216) AS u
+  FROM b, dims
+)
+SELECT media_ref, 'image' AS kind, i::BIGINT AS dim_idx,
+       round((u::DOUBLE / 4294967295.0)::REAL::DOUBLE, 6) AS value
+FROM v
+""",
         "er_block_census": f"""
 SELECT {block} AS block_key, count(*)::BIGINT AS block_size,
        (count(*) * (count(*) - 1) / 2)::BIGINT AS n_pairs
@@ -669,6 +927,6 @@ WHERE c.c_mktsegment = 'BUILDING'
   AND l.l_shipdate > '1995-03-15'
 GROUP BY 1, 2, 3
 """,
-        # incremental_assign, media_features: not SQL-expressible
-        # (scoring-stack argmin / mapInPandas decode) -> rows-only check.
+        "incremental_assign": _incremental_sql(),
+        "ann_topk_lsh": _ann_lsh_sql(),
     }

@@ -38,26 +38,13 @@ HEADLINE = [
 ]
 
 
-def _ann_topk_lsh(spark, sf_dir):
-    from pyspark.sql import functions as F
-
-    from ent_res_feedback_spark.operators.similarity import ann_topk_lsh
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    dim = len(emb.select("embedding").first()["embedding"])
-    return ann_topk_lsh(emb, k=3, num_planes=4, num_tables=4, dim=dim).select(
-        "id", "neighbor_id", F.round("cosine", 6).alias("cosine")
-    )
-
-
 def run_headline(sf_dir: str = SF_DIR, cpus: int = CPUS) -> dict:
     from ent_res_feedback_spark.session import get_spark
 
     import __spark_entry__ as entry_mod
 
     spark = get_spark("bench", cores=cpus)
-    queries = entry_mod.queries()
-    queries["ann_topk_lsh"] = _ann_topk_lsh
+    queries = entry_mod.queries()  # incl. ann_topk_lsh (driver-registered)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

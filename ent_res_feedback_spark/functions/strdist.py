@@ -306,8 +306,11 @@ def _vectorized_udf(np_kernel, scalar_kernel):
                 dtype=np.int64,
                 count=len(idx),
             )
+            # first bucket is widths >= 0 so both-empty rows (width 0) hit
+            # the numpy kernel and return 0.0 like the scalar kernels do,
+            # instead of falling through every bucket as NaN
             for bound in (6, 12, _MAX_VEC_LEN):
-                sel = idx[(widths <= bound) & (widths > (0 if bound == 6 else prev))]
+                sel = idx[(widths <= bound) & (widths > (-1 if bound == 6 else prev))]
                 if len(sel):
                     out[sel] = np_kernel([av[i] for i in sel], [bv[i] for i in sel])
                 prev = bound

@@ -27,9 +27,10 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -71,15 +72,28 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+_CHECKSUM_AGGS = lambda: (  # noqa: E731 — shared by both checksum paths
+    F.count(F.lit(1)).alias("n"),
+    F.coalesce(
+        F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")),
+        F.lit(0).cast("decimal(38,0)"),
+    ).alias("h"),
+)
+
+
 def _checksum(edges: DataFrame) -> tuple[int, int]:
     # order-insensitive content hash; decimal sum to survive ANSI overflow
-    row = edges.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.coalesce(
-            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")), F.lit(0)
-        ).alias("h"),
-    ).collect()[0]
+    row = edges.agg(*_CHECKSUM_AGGS()).collect()[0]
     return int(row["n"]), int(row["h"])
+
+
+def _observe_checksum(edges: DataFrame) -> tuple[DataFrame, Observation]:
+    """Attach the content checksum as an Observation so it rides the NEXT
+    action (checkpoint write) for free — one job per iteration instead of
+    two (materialize + separate checksum agg). The #1 fixed-stage-barrier
+    cost of the CC loop at scale."""
+    obs = Observation()
+    return edges.observe(obs, *_CHECKSUM_AGGS()), obs
 
 
 class CheckpointStore:
@@ -108,27 +122,48 @@ class CheckpointStore:
         m = self._read_manifest()
         return m["iterations"][-1] if m["iterations"] else None
 
-    def write(self, edges: DataFrame, iteration: int, meta: dict | None = None) -> DataFrame:
+    def write(
+        self, edges: DataFrame, iteration: int, meta: dict | None = None
+    ) -> tuple[DataFrame, int, int]:
+        """Write an iteration's edge set; the content checksum rides the
+        write action as an Observation (no separate checksum job). Returns
+        (reloaded frame, n, h) and commits {n, h} into the manifest entry —
+        so every complete iteration carries its own fingerprint."""
         path = os.path.join(self.root, f"iter={iteration}")
-        edges.write.mode("overwrite").parquet(path)
+        observed, obs = _observe_checksum(edges)
+        observed.write.mode("overwrite").parquet(path)
+        vals = obs.get
+        n, h = int(vals["n"]), int(vals["h"])
         manifest = self._read_manifest()
         manifest["iterations"] = [
             it for it in manifest["iterations"] if it["iter"] < iteration
         ]
         manifest["iterations"].append(
-            {"iter": iteration, "path": path, "ts": time.time(), **(meta or {})}
+            {
+                "iter": iteration, "path": path, "ts": time.time(),
+                "n": n, "h": h, **(meta or {}),
+            }
         )
         tmp = self.manifest_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, self.manifest_path)
-        return self.spark.read.parquet(path)
+        return self.spark.read.parquet(path), n, h
+
+    def reset(self) -> None:
+        """Invalidate the store (input changed under the same dir)."""
+        if os.path.exists(self.manifest_path):
+            os.remove(self.manifest_path)
+        for name in os.listdir(self.root):
+            if name.startswith("iter="):
+                shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
 
 
 def connected_components(
     edges: DataFrame,
     checkpoint_dir: str | None = None,
     max_iterations: int = 50,
+    checkpoint_interval: int = 2,
 ) -> DataFrame:
     """Compute connected components of an undirected edge list
     (columns ``src``, ``dst``) -> assignments ``(id, component)`` where
@@ -136,11 +171,22 @@ def connected_components(
     self-contexts (no edges) are the caller's concern (left-join the
     result onto the full node set; singletons keep their own id).
 
-    With ``checkpoint_dir`` each iteration persists to the store and the
-    loop RESUMES from the latest complete iteration if one exists.
+    With ``checkpoint_dir`` the loop persists to the store and RESUMES
+    from the latest complete iteration — but only when the *input* edge
+    set fingerprint matches the one recorded at iteration -1; a changed
+    input under the same dir invalidates the store instead of silently
+    returning stale clusters.
+
+    Barrier budget: ``checkpoint_interval`` large/small-star rounds run
+    per materialization (lazy plan in between), and the convergence
+    checksum rides the checkpoint action as an Observation — so a k-round
+    super-step costs ONE job, not 2k. Extra rounds past the fixpoint are
+    no-ops on the edge set (star rounds are idempotent there), so interval
+    > 1 never changes the result.
     """
     spark = edges.sparkSession
     store = CheckpointStore(spark, checkpoint_dir) if checkpoint_dir else None
+    k = max(1, checkpoint_interval)
 
     # id type is generic (string or numeric) — the algorithm only needs a
     # total order; component id = the minimum under that order.
@@ -151,23 +197,42 @@ def connected_components(
     if store is not None:
         latest = store.latest()
         if latest is not None:
-            cur = spark.read.parquet(latest["path"])
-            start_iter = latest["iter"] + 1
-            prev_sum = (latest["n"], latest["h"]) if "n" in latest else None
-        else:
-            cur = store.write(cur, -1)  # iteration -1 = canonicalized input
+            # resume guard: fingerprint the (canonicalized) input and match
+            # it against the iter=-1 manifest entry; mismatch = different
+            # input under the same checkpoint_dir -> invalidate, start fresh
+            manifest = store._read_manifest()
+            input_entry = next(
+                (it for it in manifest["iterations"] if it["iter"] == -1), None
+            )
+            n_in, h_in = _checksum(cur)
+            if input_entry is not None and (
+                input_entry.get("n"), input_entry.get("h")
+            ) == (n_in, h_in):
+                cur = spark.read.parquet(latest["path"])
+                start_iter = latest["iter"] + 1
+                prev_sum = (
+                    (latest["n"], latest["h"]) if "n" in latest else None
+                )
+            else:
+                store.reset()
+                latest = None
+        if latest is None:
+            cur, _, _ = store.write(cur, -1)  # iter -1 = canonicalized input
             start_iter = 0
     else:
         cur = cur.localCheckpoint()
 
     for i in range(start_iter, max_iterations):
-        nxt = _small_star(_large_star(cur))
+        nxt = cur
+        for _ in range(k):
+            nxt = _small_star(_large_star(nxt))
         if store is not None:
-            n, h = _checksum(nxt)
-            nxt = store.write(nxt, i, {"n": n, "h": h})
+            nxt, n, h = store.write(nxt, i)
         else:
-            nxt = nxt.localCheckpoint()
-            n, h = _checksum(nxt)
+            observed, obs = _observe_checksum(nxt)
+            nxt = observed.localCheckpoint()
+            vals = obs.get
+            n, h = int(vals["n"]), int(vals["h"])
         if prev_sum == (n, h):
             cur = nxt
             break

@@ -108,6 +108,40 @@ def _require_groups(req_edges: DataFrame) -> DataFrame | None:
     return spark.createDataFrame(assign, "doc_id string, grp string")
 
 
+def load_name_aliases(spark, path: str) -> DataFrame:
+    """S5 — load a first-name alias table (reference name_tuples,
+    s2and/data.py:481-488): csv or parquet with columns name_1, name_2."""
+    if path.endswith(".csv"):
+        return spark.read.option("header", "true").csv(path).select(
+            "name_1", "name_2"
+        )
+    return spark.read.parquet(path).select("name_1", "name_2")
+
+
+def join_alias_flags(pairs: DataFrame, alias_pairs: DataFrame | None) -> DataFrame:
+    """Broadcast-join the (small) alias table onto a pair frame as a
+    ``known_alias`` boolean over (first_1, first_2), both orientations
+    (the reference probes the tuple set both ways, data.py:854-862)."""
+    if alias_pairs is None:
+        return pairs.withColumn("known_alias", F.lit(False))
+    canon = (
+        alias_pairs.select(F.col("name_1").alias("fa"), F.col("name_2").alias("fb"))
+        .unionByName(
+            alias_pairs.select(
+                F.col("name_2").alias("fa"), F.col("name_1").alias("fb")
+            )
+        )
+        .distinct()
+        .withColumn("known_alias", F.lit(True))
+    )
+    out = pairs.join(
+        F.broadcast(canon),
+        (pairs["first_1"] == canon["fa"]) & (pairs["first_2"] == canon["fb"]),
+        "left",
+    ).drop("fa", "fb")
+    return out.fillna({"known_alias": False})
+
+
 def constraint_distance(
     alias_pairs: DataFrame | None = None,
 ) -> Column:
@@ -157,9 +191,18 @@ def constraint_distance(
     )
 
 
-def apply_constraints(pairs: DataFrame, seeds: DataFrame | None = None) -> DataFrame:
+def apply_constraints(
+    pairs: DataFrame,
+    seeds: DataFrame | None = None,
+    alias_pairs: DataFrame | None = None,
+) -> DataFrame:
     """Attach ``constraint_dist`` (NULL = unconstrained). Call BEFORE the
     expensive featurization and filter the UDF input to
-    ``constraint_dist IS NULL`` (the C2 gate)."""
+    ``constraint_dist IS NULL`` (the C2 gate). ``alias_pairs`` (S5) turns
+    otherwise-disallowed non-prefix first-name pairs back over to the
+    model (reference data.py:854-862)."""
     with_seeds = join_seed_constraints(pairs, seeds)
-    return with_seeds.withColumn("constraint_dist", constraint_distance())
+    with_alias = join_alias_flags(with_seeds, alias_pairs)
+    return with_alias.withColumn(
+        "constraint_dist", constraint_distance(alias_pairs)
+    )

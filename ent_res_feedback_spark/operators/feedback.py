@@ -29,7 +29,11 @@ from ent_res_feedback_spark.operators.cc import (
     components_with_singletons,
     connected_components,
 )
-from ent_res_feedback_spark.pipeline import ERConfig, scored_pair_distances
+from ent_res_feedback_spark.pipeline import (
+    ERConfig,
+    release_persisted,
+    scored_pair_distances,
+)
 
 
 def uncertainty_band(
@@ -100,7 +104,9 @@ def run_feedback_loop(
     spark = docs.sparkSession
     state = FeedbackState()
 
-    scored = scored_pair_distances(docs, cfg, seeds=None).localCheckpoint()
+    raw = scored_pair_distances(docs, cfg, seeds=None)
+    scored = raw.localCheckpoint()
+    release_persisted(raw)  # checkpoint done — drop the cached mentions
     clusters = _cluster_from(scored, docs, cfg)
     state.history.append({"round": 0, "metric": metric_fn(clusters) if metric_fn else None})
 
@@ -129,6 +135,7 @@ def run_feedback_loop(
         rescored = scored_pair_distances(affected_docs, cfg, seeds=seeds_df)
         untouched = scored.where(~F.col("block_key").isin(touched))
         scored = untouched.unionByName(rescored).localCheckpoint()
+        release_persisted(rescored)  # per-round: no cache accumulation
 
         clusters = _cluster_from(scored, docs, cfg)
         m = metric_fn(clusters) if metric_fn else None

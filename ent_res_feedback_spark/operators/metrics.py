@@ -120,31 +120,103 @@ def v_measure(pred: DataFrame, gold: DataFrame, id_col: str = "doc_id") -> float
     """A4 — v-measure (homogeneity/completeness harmonic mean; reference
     uses sklearn v_measure_score, e2e_scripts/evaluate.py:75). Entropies
     from the contingency table via groupBy aggregations."""
-    import math
-
     p = pred.select(F.col(id_col).alias("id"), F.col("cluster_id").alias("pc"))
     g = gold.select(F.col(id_col).alias("id"), F.col("cluster_id").alias("gc"))
     j = p.join(g, "id")
-    n = j.count()
+
+    # Fully distributed: the contingency table NEVER reaches the driver
+    # (at 100x scale it's O(clusters^2) cells). All four entropies are sum
+    # aggregations over the (pc, gc) contingency joined to its marginals;
+    # only five scalars come back.
+    cont = j.groupBy("pc", "gc").agg(F.count(F.lit(1)).alias("npg"))
+    # marginals derived from the (much smaller) contingency, not from j
+    psize = cont.groupBy("pc").agg(F.sum("npg").alias("np"))
+    gsize = cont.groupBy("gc").agg(F.sum("npg").alias("ng"))
+    row = (
+        cont.join(psize, "pc")
+        .join(gsize, "gc")
+        .agg(
+            F.sum("npg").alias("n"),
+            # sum npg*ln(npg/np) -> -n*H(C|K); sum npg*ln(npg/ng) -> -n*H(K|C)
+            F.sum(F.col("npg") * F.log(F.col("npg") / F.col("np"))).alias("sck"),
+            F.sum(F.col("npg") * F.log(F.col("npg") / F.col("ng"))).alias("skc"),
+        )
+        .collect()[0]
+    )
+    n = int(row["n"] or 0)
     if n == 0:
         return 1.0
-    cont = {(r["pc"], r["gc"]): r["count"] for r in j.groupBy("pc", "gc").count().collect()}
-    pc_tot: dict = {}
-    gc_tot: dict = {}
-    for (pc, gc), c in cont.items():
-        pc_tot[pc] = pc_tot.get(pc, 0) + c
-        gc_tot[gc] = gc_tot.get(gc, 0) + c
-    h_c = -sum(c / n * math.log(c / n) for c in gc_tot.values() if c)
-    h_k = -sum(c / n * math.log(c / n) for c in pc_tot.values() if c)
-    h_c_k = -sum(
-        c / n * math.log(c / pc_tot[pc]) for (pc, _), c in cont.items() if c
-    )
-    h_k_c = -sum(
-        c / n * math.log(c / gc_tot[gc]) for (_, gc), c in cont.items() if c
-    )
+    marg = psize.agg(F.sum(F.col("np") * F.log("np")).alias("s")).collect()[0]["s"]
+    margg = gsize.agg(F.sum(F.col("ng") * F.log("ng")).alias("s")).collect()[0]["s"]
+    import math
+
+    log_n = math.log(n)
+    h_k = log_n - float(marg) / n     # entropy of predicted clustering
+    h_c = log_n - float(margg) / n    # entropy of gold classes
+    h_c_k = -float(row["sck"]) / n
+    h_k_c = -float(row["skc"]) / n
     hom = 1.0 if h_c == 0 else 1.0 - h_c_k / h_c
     com = 1.0 if h_k == 0 else 1.0 - h_k_c / h_k
     return 0.0 if hom + com == 0 else 2 * hom * com / (hom + com)
+
+
+def auroc_ap(
+    scored: DataFrame, label_col: str = "label", score_col: str = "score"
+) -> dict:
+    """A5 — AUROC + average precision over a scored, labeled pair frame
+    (reference eval.py:430-607 uses sklearn roc_auc_score /
+    average_precision_score on the collected predictions).
+
+    Distributed form: group by DISTINCT score (the contingency per
+    threshold — the only thing either metric actually needs), then a
+    cumulative window over that (small) per-score table:
+      AUROC = Mann-Whitney with tie-correction:
+              sum_s pos_s * (cum_neg_below + neg_s / 2) / (P * N)
+      AP    = sum over thresholds descending of precision * delta-recall,
+              exactly sklearn's step integral.
+    The raw pair frame never reaches the driver; the window runs over one
+    row per distinct score.
+    """
+    from pyspark.sql import Window
+
+    lab = F.col(label_col).cast("double")
+    g = (
+        scored.groupBy(F.col(score_col).alias("s"))
+        .agg(
+            F.sum(lab).alias("pos"),
+            F.sum(1.0 - lab).alias("neg"),
+        )
+    )
+    w_up = Window.orderBy(F.col("s").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_down = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    enriched = g.select(
+        "s",
+        "pos",
+        "neg",
+        F.coalesce(F.sum("neg").over(w_up), F.lit(0.0)).alias("cum_neg_below"),
+        F.sum("pos").over(w_down).alias("cum_pos_ge"),
+        (F.sum("pos").over(w_down) + F.sum("neg").over(w_down)).alias("cum_ge"),
+    )
+    row = enriched.agg(
+        F.sum("pos").alias("P"),
+        F.sum("neg").alias("N"),
+        F.sum(F.col("pos") * (F.col("cum_neg_below") + F.col("neg") / 2)).alias(
+            "u"
+        ),
+        F.sum(
+            (F.col("pos"))  # delta TP at this threshold
+            * F.col("cum_pos_ge")
+            / F.col("cum_ge")
+        ).alias("ap_num"),
+    ).collect()[0]
+    p, n = float(row["P"] or 0), float(row["N"] or 0)
+    auroc = float(row["u"]) / (p * n) if p and n else float("nan")
+    ap = float(row["ap_num"]) / p if p else float("nan")
+    return {"auroc": auroc, "average_precision": ap}
 
 
 def facet_eval(

@@ -83,6 +83,41 @@ def extract_media_features(
     return cols.mapInPandas(kernel, out_schema)
 
 
+def features_long(feats: DataFrame) -> DataFrame:
+    """(media_ref, kind, features array<float>) -> long form
+    (media_ref, kind, dim_idx, value double). Canonicalizable (no list
+    columns) — the shape driver-side checks and parquet sinks want."""
+    return feats.select(
+        "media_ref",
+        "kind",
+        F.posexplode("features").alias("dim_idx", "value"),
+    ).select(
+        "media_ref",
+        "kind",
+        F.col("dim_idx").cast("bigint").alias("dim_idx"),
+        F.round(F.col("value").cast("double"), 6).alias("value"),
+    )
+
+
+def media_from_table(
+    rows: DataFrame, ref_col: str = "media_ref", kind: str = "image"
+) -> DataFrame:
+    """Any table with a media-reference column -> the media schema, with a
+    deterministic payload derived from the ref (stand-in for the object-
+    store fetch a production pipeline does by media_ref)."""
+    return rows.select(
+        F.col(ref_col).alias("media_ref"),
+        F.lit(kind).alias("kind"),
+        F.encode(F.col(ref_col), "utf-8").alias("payload"),
+        F.struct(
+            F.lit(64).alias("width"),
+            F.lit(64).alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit("fake").alias("codec"),
+        ).alias("meta"),
+    )
+
+
 def media_from_spans(docs: DataFrame) -> DataFrame:
     """Explode the documents table's media spans into a media table with a
     deterministic fake payload per ref (the payload is opaque by contract;

@@ -527,3 +527,54 @@ def feature_vector_39(pairs_with_features: DataFrame, out: str = "features") -> 
     return pairs_with_features.withColumn(
         out, F.array(*[F.col(n) for n in FEATURE_NAMES_39])
     )
+
+
+# ---------------------------------------------------------------------------
+# FE4 / M2 / M3 — nameless feature view + classifier blend
+# ---------------------------------------------------------------------------
+
+#: reference featurizer.py:117-124: the nameless featurizer drops the
+#: name_similarity [0-5], name_counts [27-32] and advanced_name_similarity
+#: [35-38] groups; everything else stays, in order.
+_NAME_GROUP_INDICES = frozenset(
+    list(range(0, 6)) + list(range(27, 33)) + list(range(35, 39))
+)
+NAMELESS_FEATURE_NAMES = [
+    n for i, n in enumerate(FEATURE_NAMES_39) if i not in _NAME_GROUP_INDICES
+]
+
+
+def nameless_feature_view(
+    pairs_with_features: DataFrame, keys: list[str] | None = None
+) -> DataFrame:
+    """FE4 — the name-free projection the nameless classifier consumes
+    (reference many_pairs_featurize nameless_indices_to_use,
+    featurizer.py:637-641 + 696-698)."""
+    keys = keys or ["doc_id_1", "doc_id_2"]
+    return pairs_with_features.select(*keys, *NAMELESS_FEATURE_NAMES)
+
+
+def blended_score_col(main_score, nameless_score):
+    """M2/M3 — the production blend: the plain average of the main and
+    nameless classifier outputs (reference model.py:286-296:
+    (clf.predict_proba + nameless_clf.predict_proba) / 2)."""
+    return (main_score + nameless_score) / F.lit(2.0)
+
+
+def score_pairs_blended(
+    features_df: DataFrame,
+    weights_main: dict,
+    weights_nameless: dict,
+    out: str = "score",
+) -> DataFrame:
+    """Attach the blended match score: logistic(main features) averaged
+    with logistic(nameless features), both as pure column expressions."""
+    from ent_res_feedback_spark.operators.scoring import logistic_score_col
+
+    main = logistic_score_col(
+        weights_main, [c for c in weights_main if c != "bias"]
+    )
+    nameless = logistic_score_col(
+        weights_nameless, [c for c in weights_nameless if c != "bias"]
+    )
+    return features_df.withColumn(out, blended_score_col(main, nameless))

@@ -117,3 +117,39 @@ def collect_training_sample(
 
 def sigmoid(x: float) -> float:
     return 1.0 / (1.0 + math.exp(-x))
+
+
+# ---------------------------------------------------------------------------
+# FE6 — StandardScaler (reference s2and/data.py:138-143 fits sklearn's
+# StandardScaler on the pair features before the linear model). Fit is one
+# distributed aggregation; transform is pure column arithmetic.
+# ---------------------------------------------------------------------------
+
+def fit_standard_scaler(
+    features_df: DataFrame, feature_cols=None
+) -> dict[str, tuple[float, float]]:
+    """Population mean/std per feature (ddof=0, like sklearn). Returns
+    {col: (mean, std)}; std 0 -> 1.0 (sklearn's constant-feature guard)."""
+    cols = list(feature_cols or FEATURE_COLS)
+    aggs = []
+    for c in cols:
+        aggs.append(F.avg(c).alias(f"{c}__mean"))
+        aggs.append(F.var_pop(c).alias(f"{c}__var"))
+    row = features_df.agg(*aggs).collect()[0]
+    out = {}
+    for c in cols:
+        mean = float(row[f"{c}__mean"] or 0.0)
+        var = float(row[f"{c}__var"] or 0.0)
+        std = var ** 0.5
+        out[c] = (mean, std if std > 0 else 1.0)
+    return out
+
+
+def apply_standard_scaler(
+    features_df: DataFrame, scaler: dict[str, tuple[float, float]]
+) -> DataFrame:
+    """(x - mean) / std, JVM-side, weights inlined as literals."""
+    out = features_df
+    for c, (mean, std) in scaler.items():
+        out = out.withColumn(c, (F.col(c) - F.lit(mean)) / F.lit(std))
+    return out

@@ -189,8 +189,10 @@ class UnionFind:
     def union(self, a, b):
         ra, rb = self.find(a), self.find(b)
         if ra != rb:
-            # deterministic: smaller id wins (matches CC component=min)
-            lo, hi = (ra, rb) if str(ra) <= str(rb) else (rb, ra)
+            # deterministic: smaller id wins under the ids' NATIVE order,
+            # matching Spark CC's component=min under the column type's
+            # order (str() ordering would diverge for numeric ids: '10'<'9')
+            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
             self.parent[hi] = lo
 
 

@@ -51,6 +51,11 @@ class ERConfig:
     max_block_size: int | None = None
     checkpoint_dir: str | None = None
     ascii_fast_path: bool = False
+    #: parquet pair-feature cache (S6/FE3) — when set, featurization runs
+    #: ONLY for pairs not already in the cache (reference
+    #: featurizer.py:585-628 semantics); NB this makes scoring eager (the
+    #: cache append is an action).
+    feature_cache_dir: str | None = None
 
 
 def scored_pair_distances(
@@ -87,7 +92,14 @@ def scored_pair_distances(
 
     # C2 gate: the expensive featurization UDFs only see unconstrained pairs.
     unconstrained = pairs.where(F.col("constraint_dist").isNull())
-    featurized = score_pairs(mention_pair_features(unconstrained), cfg.weights)
+    if cfg.feature_cache_dir:
+        from ent_res_feedback_spark.operators.feature_cache import PairFeatureCache
+
+        cache = PairFeatureCache(docs.sparkSession, cfg.feature_cache_dir)
+        feats, _ = cache.featurize_with_cache(unconstrained, mention_pair_features)
+    else:
+        feats = mention_pair_features(unconstrained)
+    featurized = score_pairs(feats, cfg.weights)
     scored_u = featurized.select(
         "doc_id_1",
         "doc_id_2",
@@ -104,21 +116,42 @@ def scored_pair_distances(
         F.col("constraint_dist"),
         F.col("constraint_dist").alias("dist"),
     )
-    return scored_u.unionByName(scored_c)
+    out = scored_u.unionByName(scored_c)
+    # persist lifecycle: the caller owns it — after materializing the
+    # scored frame (checkpoint / sink write), call release_persisted(out)
+    # so iterating callers (the feedback loop) don't accumulate cached
+    # partitions for the driver lifetime.
+    out._persisted_deps = [slim]  # type: ignore[attr-defined]
+    return out
+
+
+def release_persisted(df: DataFrame) -> None:
+    """Unpersist the intermediate frames a pipeline function persisted on
+    behalf of ``df`` (recorded in ``_persisted_deps``). Call once ``df``
+    has been materialized (checkpointed or written); later re-use of the
+    lazy frame stays correct, it just recomputes."""
+    for dep in getattr(df, "_persisted_deps", []):
+        dep.unpersist()
 
 
 def run_pipeline(
     docs: DataFrame,
     config: ERConfig | None = None,
     seeds: DataFrame | None = None,
+    compute_metrics: bool = False,
 ) -> dict:
     """Full pipeline. Returns dict with:
 
     clusters: (doc_id, cluster_id, spans) — spans are the SOURCE column,
               selected not rebuilt (span-sequence equality by construction)
     scored:   the pair-distance frame
-    lineage:  per-block lineage/metrics table
-    metrics:  driver-side dict (rows, clusters, wall seconds)
+    lineage:  per-block lineage/metrics table (lazy — costs nothing unless
+              consumed)
+    metrics:  driver-side dict. Row/cluster counts are OPT-IN
+              (``compute_metrics=True``): each is a full extra job, and a
+              mandatory stage barrier per run is exactly the fixed cost
+              that caps scaling efficiency — production derives counts
+              from the sink write instead.
     """
     cfg = config or ERConfig()
     t0 = time.time()
@@ -132,6 +165,10 @@ def run_pipeline(
         F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst")
     )
     assignments = connected_components(edges, checkpoint_dir=cfg.checkpoint_dir)
+    # connected_components materialized the edge set (checkpoint), so the
+    # persisted mentions frame has served its purpose — release it now
+    # rather than leaking cached partitions for the driver lifetime.
+    release_persisted(scored)
     clusters = components_with_singletons(
         assignments, docs, "doc_id"
     ).withColumnRenamed("component", "cluster_id")
@@ -144,16 +181,18 @@ def run_pipeline(
         else F.lit(False),
     )
 
-    n_docs = docs.count()
-    n_clusters = clusters.select("cluster_id").distinct().count()
     wall = time.time() - t0
-    metrics = {
-        "n_docs": n_docs,
-        "n_clusters": n_clusters,
-        "wall_sec": wall,
-        "docs_per_sec": n_docs / wall if wall > 0 else None,
-        "tau": cfg.tau,
-    }
+    metrics: dict = {"wall_sec": wall, "tau": cfg.tau}
+    if compute_metrics:
+        n_docs = docs.count()
+        n_clusters = clusters.select("cluster_id").distinct().count()
+        metrics.update(
+            {
+                "n_docs": n_docs,
+                "n_clusters": n_clusters,
+                "docs_per_sec": n_docs / wall if wall > 0 else None,
+            }
+        )
     return {
         "clusters": clusters,
         "scored": scored,

@@ -70,7 +70,7 @@ def run_headline(sf_dir: str = SF_DIR, cpus: int = CPUS) -> dict:
 # ---------------------------------------------------------------------------
 
 _SCALING_CHILD = """
-import json, sys, time
+import glob, json, sys, time
 sys.path.insert(0, "@@REPO@@")
 from ent_res_feedback_spark.corpus import spark_corpus
 from ent_res_feedback_spark.pipeline import ERConfig, run_pipeline
@@ -78,11 +78,19 @@ from ent_res_feedback_spark.session import get_spark
 
 cores = int(sys.argv[1])
 n_entities = int(sys.argv[2])
-import os as _os
+import os as _os, shutil as _shutil
 extra = {}
 if _os.path.isdir("/dev/shm"):
     _os.makedirs("/dev/shm/spark-tmp", exist_ok=True)
     extra["spark.local.dir"] = "/dev/shm/spark-tmp"
+# Non-invasive per-job attribution: event log -> job wall breakdown of the
+# timed window, so fixed (non-scaling) cost is measured, not guessed.
+evdir = "/tmp/er-events-%d" % cores
+_shutil.rmtree(evdir, ignore_errors=True)
+_os.makedirs(evdir, exist_ok=True)
+extra["spark.eventLog.enabled"] = "true"
+extra["spark.eventLog.dir"] = "file://" + evdir
+extra["spark.eventLog.compress"] = "false"
 spark = get_spark("er-scaling", cores=cores, extra_conf=extra)
 # Distributed corpus generation (corpus.spark_corpus): identical documents
 # regardless of parallelism (hash-seeded), cached before the timed window.
@@ -111,10 +119,53 @@ def er_job(d, out_path):
 # then the timed full run. Identical for both arms.
 er_job(docs, "/tmp/er_scaling_warm_%d" % cores)
 t0 = time.time()
+t0_ms = int(t0 * 1000)
 er_job(docs, "/tmp/er_scaling_out_%d" % cores)
 wall = time.time() - t0
 n_clusters = spark.read.parquet("/tmp/er_scaling_out_%d" % cores).select(
     "component").distinct().count()
+
+# per-job breakdown of the timed window from the event log
+jobs = {}
+starts = {}
+paths = [p for p in glob.glob(evdir + "/**/*", recursive=True)
+         if not _os.path.isdir(p)
+         and _os.path.basename(p).startswith(("events_", "local-", "app-"))]
+for path in paths:
+    with open(path, errors="ignore") as fh:
+        for line in fh:
+            try:
+                ev = json.loads(line)
+            except ValueError:
+                continue
+            if ev.get("Event") == "SparkListenerJobStart":
+                props = ev.get("Properties") or {}
+                sinfos = ev.get("Stage Infos") or []
+                stage_name = sinfos[-1].get("Stage Name", "") if sinfos else ""
+                starts[ev["Job ID"]] = (
+                    ev["Submission Time"],
+                    props.get("spark.job.description")
+                    or props.get("callSite.short")
+                    or stage_name,
+                )
+            elif ev.get("Event") == "SparkListenerJobEnd":
+                jid = ev["Job ID"]
+                if jid in starts and starts[jid][0] >= t0_ms:
+                    sub, desc = starts[jid]
+                    jobs[jid] = {
+                        "desc": desc[:80],
+                        "wall_s": round((ev["Completion Time"] - sub) / 1000.0, 3),
+                        "gap_before_s": 0.0,
+                        "end_ms": ev["Completion Time"],
+                        "start_ms": sub,
+                    }
+ordered = [jobs[k] for k in sorted(jobs)]
+prev_end = t0_ms
+for j in ordered:
+    j["gap_before_s"] = round((j["start_ms"] - prev_end) / 1000.0, 3)
+    prev_end = max(prev_end, j["end_ms"])
+    del j["end_ms"], j["start_ms"]
+print("JOBS " + json.dumps(ordered))
 print("RESULT " + json.dumps({
     "cores": cores, "docs": n, "wall_sec": round(wall, 3),
     "docs_per_sec": round(n / wall, 3), "n_clusters": n_clusters}))
@@ -147,6 +198,11 @@ def run_scaling(n_entities: int = 300000, cores_pair=(2, 8)) -> dict:
                 f"scaling child (cores={cores}) failed:\n{out.stderr[-3000:]}"
             )
         results[cores] = json.loads(line[0][len("RESULT "):])
+        jline = [ln for ln in out.stdout.splitlines() if ln.startswith("JOBS ")]
+        if jline:
+            results[cores]["jobs"] = json.loads(jline[0][len("JOBS "):])
+            for j in results[cores]["jobs"]:
+                print(f"# cores={cores} job: {j}", file=sys.stderr)
     lo, hi = cores_pair
     eff = (results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]) / (hi / lo)
     return {"runs": results, "scaling_efficiency": round(eff, 4),

@@ -471,6 +471,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lid["lang"].alias("lang"),
         )
 
+    def q_lang_id_profile(spark, sf_dir):
+        """F5 model-shaped path: Cavnar-Trenkle trigram-profile classifier
+        (operators/langid.py) — profiles are deterministic literals, so
+        DuckDB replays scoring exactly."""
+        from ent_res_feedback_spark.operators.langid import detect_language_profile
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        det = detect_language_profile(F.col("text"))
+        return docs.select(
+            "doc_id",
+            det["is_reliable"].alias("is_reliable"),
+            det["is_english"].alias("is_english"),
+            det["lang"].alias("lang"),
+            det["score"].alias("score"),
+        )
+
+    def q_min_pair_edit(spark, sf_dir):
+        """A8 — greedy per-block minimum cluster-edit stats for the ER
+        pipeline's own clusters vs a deterministic 'gold' built from the
+        block key (every same-block pair is gold-positive): exercises the
+        applyInPandas greedy kernel end-to-end on driver data."""
+        from ent_res_feedback_spark.operators.min_edit import min_pair_edit
+        from ent_res_feedback_spark.operators.pairs import within_block_pairs
+
+        docs = _docs_with_block(spark, sf_dir)
+        mentions = docs.select("doc_id", "block_key").where(
+            F.length("block_key") > 0
+        )
+        pairs = within_block_pairs(mentions).select(
+            "doc_id_1", "doc_id_2", "block_key"
+        )
+        # deterministic labels: hash-parity of the pair (stable, mixed
+        # right/wrong) against single-cluster-per-block predictions
+        labeled = pairs.withColumn(
+            "label", (F.pmod(F.xxhash64("doc_id_1", "doc_id_2"), F.lit(2))).cast("int")
+        )
+        assignments = mentions.select(
+            "doc_id", F.col("block_key").alias("cluster_id")
+        )
+        out = min_pair_edit(assignments, labeled)
+        return out.select(
+            "block_key",
+            F.round("min_edit_score", 6).alias("min_edit_score"),
+            F.col("min_edit_count").cast("bigint").alias("min_edit_count"),
+            F.col("n_mistaken_ids").cast("bigint").alias("n_mistaken_ids"),
+        )
+
     def q_ann_topk_lsh(spark, sf_dir):
         """Scale-path ANN: multi-table hyperplane LSH buckets -> candidate
         union -> exact cosine re-rank. Planes are seed-deterministic
@@ -685,6 +732,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near_jaccard": q_dedup_near_jaccard,
         "text_profile": q_text_profile,
         "lang_id": q_lang_id,
+        "lang_id_profile": q_lang_id_profile,
+        "min_pair_edit": q_min_pair_edit,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "embedding_label_centroid_sim": q_embedding_label_centroid_sim,
@@ -693,6 +742,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_assign": q_incremental_assign,
         "media_features": q_media_features,
     }
+
+
+def _lang_profile_sql() -> str:
+    """Exact DuckDB replay of operators/langid.detect_language_profile:
+    same trigram extraction, the same (lang, trigram, weight) literals
+    (generated from langid.PROFILES — one source of truth), same
+    normalization, arg-max and reliability rule."""
+    from ent_res_feedback_spark.operators.langid import PROFILES
+
+    rows = []
+    for lang, prof in sorted(PROFILES.items()):
+        for tri, w in sorted(prof.items()):
+            esc = tri.replace("'", "''")
+            rows.append(f"('{lang}', '{esc}', {w})")
+    values = ",\n    ".join(rows)
+    langs = ", ".join(f"('{lang}')" for lang in sorted(PROFILES))
+    return f"""
+WITH weights(lang, tri, w) AS (VALUES
+    {values}
+),
+langs(lang) AS (VALUES {langs}),
+docs AS (
+  SELECT doc_id,
+         ' ' || lower(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')) || ' ' AS t
+  FROM documents
+),
+tris AS (
+  SELECT doc_id, substr(t, i, 3) AS tri
+  FROM docs, unnest(range(1, greatest(length(t) - 1, 1))) AS u(i)
+  WHERE length(t) >= 3
+),
+tri_counts AS (
+  SELECT doc_id, tri, count(*) AS c FROM tris GROUP BY 1, 2
+),
+n_tris AS (
+  SELECT doc_id, CASE WHEN length(t) >= 3 THEN length(t) - 2 ELSE 0 END AS n
+  FROM docs
+),
+per_lang AS (
+  SELECT nt.doc_id, l.lang,
+         CASE WHEN nt.n > 0 THEN
+           coalesce((SELECT sum(tc.c * w.w) FROM tri_counts tc
+                     JOIN weights w ON w.lang = l.lang AND w.tri = tc.tri
+                     WHERE tc.doc_id = nt.doc_id), 0)::DOUBLE / nt.n
+         ELSE 0.0 END AS score
+  FROM n_tris nt CROSS JOIN langs l
+),
+ranked AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang DESC) AS rk
+  FROM per_lang
+),
+best AS (
+  SELECT b.doc_id, b.score AS best_score, b.lang AS best_lang,
+         r.score AS runner_score
+  FROM ranked b JOIN ranked r
+    ON b.doc_id = r.doc_id AND b.rk = 1 AND r.rk = 2
+)
+SELECT doc_id,
+       (best_score >= 8.0 AND (best_score - runner_score) >= 1.0) AS is_reliable,
+       (CASE WHEN best_score >= 8.0 AND (best_score - runner_score) >= 1.0
+             THEN best_lang ELSE 'un' END = 'en') AS is_english,
+       CASE WHEN best_score >= 8.0 AND (best_score - runner_score) >= 1.0
+            THEN best_lang ELSE 'un' END AS lang,
+       round(best_score, 6) AS score
+FROM best
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -901,6 +1018,10 @@ FROM documents GROUP BY 1 HAVING count(*) > 1
         "dedup_near_jaccard": near_dup_sql,
         "text_profile": text_profile_sql,
         "lang_id": lang_sql,
+        "lang_id_profile": _lang_profile_sql(),
+        # min_pair_edit: greedy iterative local search — genuinely
+        # non-SQL-expressible; driver records the rows-only check, exact
+        # semantics are pinned by tests/test_min_edit.py goldens
         "ann_topk": ann_sql,
         "embedding_label_centroid_sim": centroid_sql,
         "tpch_q1": """

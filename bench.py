@@ -78,6 +78,8 @@ from ent_res_feedback_spark.session import get_spark
 
 cores = int(sys.argv[1])
 n_entities = int(sys.argv[2])
+shuffle_parts = int(sys.argv[3]) if len(sys.argv) > 3 else None
+repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 1
 import os as _os, shutil as _shutil
 extra = {}
 if _os.path.isdir("/dev/shm"):
@@ -91,7 +93,8 @@ _os.makedirs(evdir, exist_ok=True)
 extra["spark.eventLog.enabled"] = "true"
 extra["spark.eventLog.dir"] = "file://" + evdir
 extra["spark.eventLog.compress"] = "false"
-spark = get_spark("er-scaling", cores=cores, extra_conf=extra)
+spark = get_spark("er-scaling", cores=cores, shuffle_partitions=shuffle_parts,
+                  extra_conf=extra)
 # Distributed corpus generation (corpus.spark_corpus): identical documents
 # regardless of parallelism (hash-seeded), cached before the timed window.
 docs, _gold = spark_corpus(spark, n_entities)
@@ -118,10 +121,18 @@ def er_job(d, out_path):
 # to zero on real corpora — measured 110s first run vs 8s steady-state),
 # then the timed full run. Identical for both arms.
 er_job(docs, "/tmp/er_scaling_warm_%d" % cores)
-t0 = time.time()
-t0_ms = int(t0 * 1000)
-er_job(docs, "/tmp/er_scaling_out_%d" % cores)
-wall = time.time() - t0
+walls = []
+for _rep in range(repeats):
+    t_rep = time.time()
+    if _rep == 0:
+        t0_ms = int(t_rep * 1000)
+    er_job(docs, "/tmp/er_scaling_out_%d" % cores)
+    walls.append(time.time() - t_rep)
+# median wall: the sandbox shows +-30% run-to-run wall noise; the median
+# of R identical steady-state runs is the standard robust estimator
+walls_sorted = sorted(walls)
+wall = walls_sorted[len(walls_sorted) // 2] if repeats % 2 else (
+    (walls_sorted[repeats // 2 - 1] + walls_sorted[repeats // 2]) / 2.0)
 n_clusters = spark.read.parquet("/tmp/er_scaling_out_%d" % cores).select(
     "component").distinct().count()
 
@@ -168,11 +179,17 @@ for j in ordered:
 print("JOBS " + json.dumps(ordered))
 print("RESULT " + json.dumps({
     "cores": cores, "docs": n, "wall_sec": round(wall, 3),
+    "walls": [round(w, 3) for w in walls],
     "docs_per_sec": round(n / wall, 3), "n_clusters": n_clusters}))
 """
 
 
-def run_scaling(n_entities: int = 300000, cores_pair=(2, 8)) -> dict:
+def run_scaling(
+    n_entities: int = 300000,
+    cores_pair=(2, 8),
+    shuffle_partitions: int | None = 64,
+    repeats: int = 3,
+) -> dict:
     """N vs 4N executor-cores proxy. Default (2, 8): on this 32-CPU box,
     thread counts >16 run into memory-bandwidth saturation that a real
     multi-NODE cluster would not see (each node brings its own memory
@@ -184,6 +201,13 @@ def run_scaling(n_entities: int = 300000, cores_pair=(2, 8)) -> dict:
     for cores in cores_pair:
         script = _SCALING_CHILD.replace("@@REPO@@", repo)
         cmd = [sys.executable, "-c", script, str(cores), str(n_entities)]
+        if shuffle_partitions:
+            # IDENTICAL shuffle partitioning for both arms: task granularity
+            # fine enough that the big arm doesn't lose a whole straggler
+            # wave (32 parts / 8 cores = 4 waves loses up to 25% to the
+            # tail; 64 parts = 8 waves caps the loss at 12.5%).
+            cmd.append(str(shuffle_partitions))
+            cmd.append(str(repeats))
         # CPU-pin each arm to exactly `cores` CPUs: an N-core run on an
         # M-core box would otherwise spill its Python UDF workers onto the
         # idle cores, overstating N-core throughput (a cluster executor
@@ -191,7 +215,7 @@ def run_scaling(n_entities: int = 300000, cores_pair=(2, 8)) -> dict:
         # an honest N-core-node proxy.
         if shutil_which("taskset") and (os.cpu_count() or 0) >= cores:
             cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-        out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+        out = subprocess.run(cmd, capture_output=True, text=True, timeout=14400)
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("RESULT ")]
         if not line:
             raise RuntimeError(
@@ -229,9 +253,11 @@ def _append_baseline_md(res: dict):
         f"\n## Scaling run ({time.strftime('%Y-%m-%d %H:%M:%S')})\n",
         "| run | cores | input docs | wall (s) | docs/sec | scaling eff |\n",
         "|---|---|---|---|---|---|\n",
-        f"| N | local[{lo}] | {r[lo]['docs']} | {r[lo]['wall_sec']} | "
+        f"| N | local[{lo}] | {r[lo]['docs']} | {r[lo]['wall_sec']} "
+        f"(median of {r[lo].get('walls', [r[lo]['wall_sec']])}) | "
         f"{r[lo]['docs_per_sec']} | — |\n",
-        f"| 4N | local[{hi}] | {r[hi]['docs']} | {r[hi]['wall_sec']} | "
+        f"| 4N | local[{hi}] | {r[hi]['docs']} | {r[hi]['wall_sec']} "
+        f"(median of {r[hi].get('walls', [r[hi]['wall_sec']])}) | "
         f"{r[hi]['docs_per_sec']} | {res['scaling_efficiency']} |\n",
     ]
     header = "# BENCH/BASELINE — measured runs\n" if not os.path.exists(path) else ""

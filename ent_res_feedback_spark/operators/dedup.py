@@ -106,11 +106,29 @@ def minhash_lsh_duplicates(
         slim, "_norm", num_bands=num_bands, rows_per_band=rows_per_band,
         seed=seed, shingle_n=shingle_n,
     )
-    cands = within_block_pairs(
-        banded.select("band_key", id_col, "tokens"),
-        key="band_key",
-        id_col=id_col,
-    ).select(id_col + "_1", id_col + "_2", "tokens_1", "tokens_2").distinct()
+    # Candidate dedup carries ONLY the id pair: a near-dup pair collides in
+    # several bands, and a distinct over rows that drag both shingle arrays
+    # would shuffle O(candidates x doc_len) bytes. Ids first (tiny shuffle),
+    # then re-join each side's shingle set once for verification.
+    cand_ids = (
+        within_block_pairs(
+            banded.select("band_key", id_col), key="band_key", id_col=id_col
+        )
+        .select(id_col + "_1", id_col + "_2")
+        .distinct()
+    )
+    tokens = slim.select(F.col(id_col), "tokens")
+    cands = cand_ids.join(
+        tokens.select(
+            F.col(id_col).alias(id_col + "_1"), F.col("tokens").alias("tokens_1")
+        ),
+        id_col + "_1",
+    ).join(
+        tokens.select(
+            F.col(id_col).alias(id_col + "_2"), F.col("tokens").alias("tokens_2")
+        ),
+        id_col + "_2",
+    )
     jac = set_jaccard(F.col("tokens_1"), F.col("tokens_2"))
     return (
         cands.withColumn("jaccard", jac)

@@ -193,6 +193,46 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _emb_dup_sql(
+    threshold: float = 0.4, num_planes: int = 2, num_tables: int = 8,
+    dim: int = 64, seed: int = 42,
+) -> str:
+    """DuckDB replay of operators/similarity.embedding_cosine_duplicates
+    (same plane literals + candidate restriction as _ann_lsh_sql)."""
+    import numpy as np
+
+    key_exprs = []
+    for t in range(num_tables):
+        rng = np.random.default_rng(seed + 1000 * t)
+        planes = rng.standard_normal((num_planes, dim))
+        bits = " + ".join(
+            "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
+            + ", ".join(repr(float(x)) for x in planes[i])
+            + "]::DOUBLE[]) >= 0 THEN " + str(1 << i) + " ELSE 0 END)"
+            for i in range(num_planes)
+        )
+        key_exprs.append(f"'{t}:' || ({bits})::BIGINT::VARCHAR")
+    return f"""
+WITH b AS (
+  SELECT vec_id, unnest([{', '.join(key_exprs)}]) AS lsh_key
+  FROM embeddings
+),
+cands AS (
+  SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
+  FROM b a JOIN b c USING (lsh_key)
+  WHERE a.vec_id < c.vec_id
+)
+SELECT p.id1::BIGINT AS vec_id_1, p.id2::BIGINT AS vec_id_2,
+       round(list_cosine_similarity(e1.embedding::DOUBLE[],
+                                    e2.embedding::DOUBLE[]), 6) AS cosine
+FROM cands p
+JOIN embeddings e1 ON p.id1 = e1.vec_id
+JOIN embeddings e2 ON p.id2 = e2.vec_id
+WHERE list_cosine_similarity(e1.embedding::DOUBLE[],
+                             e2.embedding::DOUBLE[]) >= {threshold}
+"""
+
+
 def _incremental_sql() -> str:
     """DuckDB replay of q_incremental_assign: batch CC over the 80% split,
     avg-dist argmin assignment of the 20%, leftover CC."""
@@ -535,6 +575,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("rank").cast("bigint").alias("rank"),
         )
 
+    def q_dedup_near_embedding(spark, sf_dir):
+        """Embedding-cosine near-dup pairs via multi-table LSH candidates
+        + exact-cosine verify (the synthetic embeddings are near-random,
+        so the demo threshold is 0.4; production near-dup uses ~0.95)."""
+        from ent_res_feedback_spark.operators.similarity import (
+            embedding_cosine_duplicates,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        out = embedding_cosine_duplicates(
+            emb, threshold=0.4, num_planes=2, num_tables=8, dim=64, seed=42
+        )
+        return out.select(
+            F.col("vec_id_1").cast("bigint").alias("vec_id_1"),
+            F.col("vec_id_2").cast("bigint").alias("vec_id_2"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+
     def q_ann_topk(spark, sf_dir):
         from ent_res_feedback_spark.operators.similarity import brute_force_topk
 
@@ -730,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "minhash_bands": q_minhash_bands,
         "dedup_near_jaccard": q_dedup_near_jaccard,
+        "dedup_near_embedding": q_dedup_near_embedding,
         "text_profile": q_text_profile,
         "lang_id": q_lang_id,
         "lang_id_profile": q_lang_id_profile,
@@ -1050,4 +1109,5 @@ GROUP BY 1, 2, 3
 """,
         "incremental_assign": _incremental_sql(),
         "ann_topk_lsh": _ann_lsh_sql(),
+        "dedup_near_embedding": _emb_dup_sql(),
     }

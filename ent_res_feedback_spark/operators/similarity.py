@@ -151,16 +151,41 @@ def ann_topk_lsh(
     join), more tables = recovered recall. The per-table bucket join is
     the only wide stage; candidates stay ~linear instead of the cross
     join's quadratic."""
+    cands = _lsh_candidate_ids(
+        embeddings, num_planes, num_tables, dim, seed, id_col, vec_col
+    )
+    scored = _join_vectors_and_score(cands, embeddings, id_col, vec_col)
+    w = Window.partitionBy("id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _lsh_candidate_ids(
+    embeddings: DataFrame,
+    num_planes: int,
+    num_tables: int,
+    dim: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Distinct LSH candidate id pairs (id, neighbor_id), id != neighbor.
+    The dedup shuffles ONLY the id pair — a pair that collides in several
+    tables must not drag two embedding arrays through the distinct
+    (O(candidates x dim) bytes); vectors re-join once afterwards."""
     b = embeddings
     table_cols = []
     for t in range(num_tables):
         col = f"_lsh_t{t}"
         b = hyperplane_lsh_buckets(b, num_planes, dim, seed + 1000 * t, vec_col, out=col)
         table_cols.append(col)
-    # one row per (vector, table-bucket) with a table-qualified key
     buckets = b.select(
         F.col(id_col),
-        F.col(vec_col),
         F.explode(
             F.array(
                 *[
@@ -170,26 +195,54 @@ def ann_topk_lsh(
             )
         ).alias("lsh_key"),
     )
-    left = buckets.select(
-        "lsh_key", F.col(id_col).alias("id"), F.col(vec_col).alias("va")
-    )
-    right = buckets.select(
-        "lsh_key", F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb")
-    )
-    cands = (
+    left = buckets.select("lsh_key", F.col(id_col).alias("id"))
+    right = buckets.select("lsh_key", F.col(id_col).alias("neighbor_id"))
+    return (
         left.join(right, "lsh_key")
         .where(F.col("id") != F.col("neighbor_id"))
-        .select("id", "neighbor_id", "va", "vb")
-        .dropDuplicates(["id", "neighbor_id"])
+        .select("id", "neighbor_id")
+        .distinct()
     )
-    scored = cands.select(
+
+
+def _join_vectors_and_score(
+    cands: DataFrame, embeddings: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    emb = embeddings.select(F.col(id_col), F.col(vec_col))
+    scored = cands.join(
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("va")), "id"
+    ).join(
+        emb.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb")
+        ),
+        "neighbor_id",
+    )
+    return scored.select(
         "id", "neighbor_id", cosine_sim(F.col("va"), F.col("vb")).alias("cosine")
     )
-    w = Window.partitionBy("id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("id", "neighbor_id", "cosine", "rank")
+
+
+def embedding_cosine_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    num_planes: int = 2,
+    num_tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: multi-table hyperplane-LSH
+    candidates (the scale path — no cross join), exact-cosine verified
+    against ``threshold``, canonical ``id_1 < id_2``. The near-dup analog
+    of ``ann_topk_lsh``: same recall knobs (planes/tables), one wide
+    bucket join, O(candidates) verify."""
+    cands = _lsh_candidate_ids(
+        embeddings, num_planes, num_tables, dim, seed, id_col, vec_col
+    ).where(F.col("id") < F.col("neighbor_id"))
+    scored = _join_vectors_and_score(cands, embeddings, id_col, vec_col)
+    return scored.where(F.col("cosine") >= threshold).select(
+        F.col("id").alias(id_col + "_1"),
+        F.col("neighbor_id").alias(id_col + "_2"),
+        "cosine",
     )

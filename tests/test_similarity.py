@@ -84,3 +84,29 @@ def test_hyperplane_buckets_deterministic(spark, emb_df):
         for r in similarity.hyperplane_lsh_buckets(df, 6, 16).collect()
     }
     assert a == b
+
+
+def test_embedding_cosine_duplicates_finds_planted_dups(spark):
+    rng = np.random.default_rng(7)
+    X = rng.standard_normal((40, 16)).astype(np.float32)
+    # plant near-duplicates: rows 40..44 are tiny perturbations of 0..4
+    rows = [(i, X[i].tolist()) for i in range(len(X))]
+    for j in range(5):
+        v = X[j] + rng.standard_normal(16).astype(np.float32) * 0.01
+        rows.append((40 + j, v.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["vec_id_1"], r["vec_id_2"])
+        for r in similarity.embedding_cosine_duplicates(
+            df, threshold=0.95, num_planes=2, num_tables=8, dim=16, seed=42
+        ).collect()
+    }
+    planted = {(j, 40 + j) for j in range(5)}
+    # multi-table LSH at 2 planes x 8 tables: miss probability per planted
+    # pair ~ (1 - p^2)^8 with p ~ 1 - angle/pi ~ 0.997 -> ~0; require all
+    assert planted <= got
+    # and nothing below threshold sneaks in: verify exact cosine of extras
+    Xall = np.array([r[1] for r in rows])
+    Xn = Xall / np.linalg.norm(Xall, axis=1, keepdims=True)
+    for a, b in got:
+        assert float(Xn[a] @ Xn[b]) >= 0.95 - 1e-9

@@ -233,6 +233,57 @@ WHERE list_cosine_similarity(e1.embedding::DOUBLE[],
 """
 
 
+def _ivf_sql(k: int = 3, n_centroids: int = 16, n_probe: int = 4) -> str:
+    """DuckDB replay of operators/similarity.ivf_topk: same md5 codebook
+    pick, same nearest-cell assignment (cosine desc, index asc ties),
+    same probe join and exact re-rank."""
+    return f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1 AS cidx,
+         embedding
+  FROM embeddings
+  ORDER BY md5(vec_id::VARCHAR)
+  LIMIT {n_centroids}
+),
+cell_scores AS (
+  SELECT e.vec_id, c.cidx,
+         list_cosine_similarity(e.embedding::DOUBLE[],
+                                c.embedding::DOUBLE[]) AS cos
+  FROM embeddings e CROSS JOIN cents c
+),
+cell_rank AS (
+  SELECT vec_id, cidx,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, cidx ASC) AS rk
+  FROM cell_scores
+),
+home AS (SELECT vec_id AS neighbor_id, cidx FROM cell_rank WHERE rk = 1),
+probes AS (SELECT vec_id AS id, cidx FROM cell_rank WHERE rk <= {n_probe}),
+cands AS (
+  SELECT DISTINCT p.id, h.neighbor_id
+  FROM probes p JOIN home h USING (cidx)
+  WHERE p.id != h.neighbor_id
+),
+scored AS (
+  SELECT c.id, c.neighbor_id,
+         list_cosine_similarity(e1.embedding::DOUBLE[],
+                                e2.embedding::DOUBLE[]) AS cos
+  FROM cands c
+  JOIN embeddings e1 ON c.id = e1.vec_id
+  JOIN embeddings e2 ON c.neighbor_id = e2.vec_id
+),
+ranked AS (
+  SELECT id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT id::BIGINT AS vec_id, neighbor_id::BIGINT AS neighbor_id,
+       round(cos, 6) AS cosine, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def _incremental_sql() -> str:
     """DuckDB replay of q_incremental_assign: batch CC over the 80% split,
     avg-dist argmin assignment of the 20%, leftover CC."""
@@ -575,6 +626,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("rank").cast("bigint").alias("rank"),
         )
 
+    def q_ann_topk_ivf(spark, sf_dir):
+        """IVF cell-probe ANN: deterministic md5-picked codebook, nearest-
+        cell inverted file, n_probe cell join, exact re-rank — the whole
+        pipeline is DuckDB-replayable."""
+        from ent_res_feedback_spark.operators.similarity import ivf_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        out = ivf_topk(emb, k=3, n_centroids=16, n_probe=4)
+        return out.select(
+            F.col("id").cast("bigint").alias("vec_id"),
+            F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+
     def q_dedup_near_embedding(spark, sf_dir):
         """Embedding-cosine near-dup pairs via multi-table LSH candidates
         + exact-cosine verify (the synthetic embeddings are near-random,
@@ -789,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_bands": q_minhash_bands,
         "dedup_near_jaccard": q_dedup_near_jaccard,
         "dedup_near_embedding": q_dedup_near_embedding,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "text_profile": q_text_profile,
         "lang_id": q_lang_id,
         "lang_id_profile": q_lang_id_profile,
@@ -1110,4 +1177,5 @@ GROUP BY 1, 2, 3
         "incremental_assign": _incremental_sql(),
         "ann_topk_lsh": _ann_lsh_sql(),
         "dedup_near_embedding": _emb_dup_sql(),
+        "ann_topk_ivf": _ivf_sql(),
     }

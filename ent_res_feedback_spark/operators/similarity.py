@@ -246,3 +246,91 @@ def embedding_cosine_duplicates(
         F.col("neighbor_id").alias(id_col + "_2"),
         "cosine",
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the cell-probe scale path
+# ---------------------------------------------------------------------------
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic coarse-quantizer codebook: the vectors of the
+    ``n_centroids`` ids with the smallest ``md5(id)`` (a seedless,
+    engine-portable 'random' sample — DuckDB replays the same pick).
+    Production would run k-means here; the IVF *structure* (cell assign,
+    probe join) is identical either way. The codebook is a tiny
+    driver-side model (like the logistic weights), collected once and
+    inlined as literals."""
+    rows = (
+        embeddings.select(
+            F.md5(F.col(id_col).cast("string")).alias("_h"), F.col(vec_col)
+        )
+        .orderBy("_h")
+        .limit(n_centroids)
+        .collect()
+    )
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+def _centroid_ranking(vec: Column, centroids: list[list[float]]) -> Column:
+    """Array of centroid indices ordered by cosine desc (ties: index asc),
+    as one JVM expression (struct sort, no UDF)."""
+    scored = F.array(
+        *[
+            F.struct(
+                (-cosine_sim(vec, F.array(*[F.lit(x) for x in c]))).alias("negcos"),
+                F.lit(i).alias("idx"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.transform(F.sort_array(scored), lambda s: s["idx"])
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate k-NN: every vector lives in its nearest-centroid
+    cell (the inverted file); every query probes its ``n_probe`` nearest
+    cells; candidates = index vectors whose home cell is probed. One
+    equi-join on cell id — candidates ~ n * n_probe / n_centroids per
+    query instead of the cross join's n. Exact cosine re-ranks.
+
+    -> (id, neighbor_id, cosine, rank), rank 1..k per id.
+    """
+    cents = centroids or ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    ranked = _centroid_ranking(F.col(vec_col), cents)
+    base = embeddings.select(F.col(id_col), F.col(vec_col), ranked.alias("_cells"))
+    index_side = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_cells")[0].alias("_cell"),
+    )
+    probe_side = base.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.slice("_cells", 1, n_probe)).alias("_cell"),
+    )
+    cands = (
+        probe_side.join(index_side, "_cell")
+        .where(F.col("id") != F.col("neighbor_id"))
+        .select("id", "neighbor_id")
+        .distinct()
+    )
+    scored = _join_vectors_and_score(cands, embeddings, id_col, vec_col)
+    w = Window.partitionBy("id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("id", "neighbor_id", "cosine", "rank")
+    )

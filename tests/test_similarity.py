@@ -110,3 +110,40 @@ def test_embedding_cosine_duplicates_finds_planted_dups(spark):
     Xn = Xall / np.linalg.norm(Xall, axis=1, keepdims=True)
     for a, b in got:
         assert float(Xn[a] @ Xn[b]) >= 0.95 - 1e-9
+
+
+def test_ivf_centroids_deterministic_md5_pick(spark, emb_df):
+    df, X = emb_df
+    import hashlib
+
+    cents = similarity.ivf_centroids(df, n_centroids=4)
+    order = sorted(range(len(X)), key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    want = [[float(x) for x in X[i]] for i in order[:4]]
+    assert len(cents) == 4
+    for got, exp in zip(cents, want):
+        np.testing.assert_allclose(got, exp, rtol=1e-6)
+
+
+def test_ivf_topk_recall_and_exactness(spark, emb_df):
+    df, X = emb_df
+    k = 3
+    got = {}
+    for r in similarity.ivf_topk(df, k=k, n_centroids=8, n_probe=4).collect():
+        got.setdefault(r["id"], []).append((r["rank"], r["neighbor_id"], r["cosine"]))
+    want = _numpy_topk(X.astype(np.float64), k)
+    # structural exactness: ranks contiguous, cosines match exact values
+    Xn = X.astype(np.float64)
+    Xn = Xn / np.linalg.norm(Xn, axis=1, keepdims=True)
+    hits = total = 0
+    for i, rows in got.items():
+        rows = sorted(rows)
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+        for _, n, c in rows:
+            assert c == pytest.approx(float(Xn[i] @ Xn[n]), abs=1e-9)
+    # recall@1 against the exact top-1
+    for i in want:
+        total += 1
+        top1 = want[i][0][0]
+        if got.get(i) and sorted(got[i])[0][1] == top1:
+            hits += 1
+    assert hits / total >= 0.5, f"IVF recall@1 too low: {hits}/{total}"

@@ -562,6 +562,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lid["lang"].alias("lang"),
         )
 
+    def q_winnow_fingerprints(spark, sf_dir):
+        """Rolling-hash winnowing fingerprints (long form: one row per
+        selected k-gram hash — arrays don't canonicalize driver-side)."""
+        from ent_res_feedback_spark.functions.hashing import winnowing_fingerprints
+        from ent_res_feedback_spark.functions.text import normalize_text_ascii
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        fps = winnowing_fingerprints(normalize_text_ascii(F.col("text")))
+        return docs.select(
+            "doc_id", F.explode(fps).alias("fp")
+        ).select("doc_id", F.col("fp").cast("bigint").alias("fp"))
+
     def q_lang_id_profile(spark, sf_dir):
         """F5 model-shaped path: Cavnar-Trenkle trigram-profile classifier
         (operators/langid.py) — profiles are deterministic literals, so
@@ -859,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "lang_id": q_lang_id,
         "lang_id_profile": q_lang_id_profile,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "min_pair_edit": q_min_pair_edit,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
@@ -868,6 +881,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_assign": q_incremental_assign,
         "media_features": q_media_features,
     }
+
+
+def _winnow_sql() -> str:
+    from ent_res_feedback_spark.functions.hashing import sql_winnowing_query
+
+    return sql_winnowing_query(_NORM.format(col="text"))
 
 
 def _lang_profile_sql() -> str:
@@ -1140,6 +1159,7 @@ SELECT md5({norm}) AS fingerprint, min(doc_id)::BIGINT AS survivor_id,
 FROM documents GROUP BY 1 HAVING count(*) > 1
 """,
         "fingerprints": f"SELECT doc_id, md5({norm}) AS fingerprint FROM documents",
+        "winnow_fingerprints": _winnow_sql(),
         "minhash_bands": bands_sql,
         "dedup_near_jaccard": near_dup_sql,
         "text_profile": text_profile_sql,

@@ -130,3 +130,83 @@ def doc_fingerprint(text_col: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text.
     Portable to DuckDB (same md5 hex)."""
     return F.md5(text_col)
+
+
+def winnowing_fingerprints(
+    text_col: Column, k: int = 5, w: int = 4
+) -> Column:
+    """Rolling-hash document fingerprints by winnowing (Schleimer, Wilkerson
+    & Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD'03): hash every char k-gram, slide a window of ``w`` hashes,
+    select each window's minimum, return the sorted distinct selections.
+    Edit-robust: a local change perturbs only nearby windows, so most
+    fingerprints survive — unlike ``doc_fingerprint``'s all-or-nothing md5.
+
+    Pure JVM expression (transform/slice/array_min over a sequence — no
+    UDF, scan-speed); hashes are the portable md5-derived 32-bit family so
+    DuckDB replays the result exactly. Texts shorter than k+w-1 chars
+    fingerprint as the single min over whatever k-grams exist (or empty).
+    Selecting min VALUES (not positions) makes tie-handling trivially
+    deterministic; position-aware robust winnowing adds nothing when only
+    the fingerprint set is compared."""
+    n = F.length(text_col)
+    n_grams = n - (k - 1)
+    empty = F.array().cast("array<long>")
+    gram_hashes = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+            lambda i: F.conv(
+                F.substring(F.md5(text_col.substr(i, F.lit(k))), 1, 8), 16, 10
+            ).cast("long"),
+        ),
+    ).otherwise(empty)
+
+    # let-binding via a 1-element HOF: the gram array is EVALUATED ONCE per
+    # row and bound to the lambda variable — referencing the expression
+    # directly inside the window transform would recompute every k-gram
+    # md5 per window (O(n^2) hashes per row)
+    def select_mins(g):
+        nw = F.size(g) - (w - 1)
+        return F.when(
+            nw >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(nw, F.lit(1))),
+                lambda j: F.array_min(F.slice(g, j, w)),
+            ),
+        ).otherwise(
+            F.when(F.size(g) >= 1, F.array(F.array_min(g))).otherwise(empty)
+        )
+
+    selected = F.get(F.transform(F.array(gram_hashes), select_mins), 0)
+    return F.array_sort(F.array_distinct(selected))
+
+
+def sql_winnowing_query(
+    text_sql: str, table: str = "documents", k: int = 5, w: int = 4
+) -> str:
+    """DuckDB replay of ``winnowing_fingerprints`` over a varchar SQL
+    expression: same md5-derived hashes, same window-min selection. A full
+    query (CTE) rather than one expression so the gram list is computed
+    ONCE per row — inlining it into the per-window lambda would redo every
+    k-gram md5 per window."""
+    return f"""
+WITH d AS (SELECT doc_id, {text_sql} AS t FROM {table}),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(t) - {k - 1}, 0) + 1),
+                        i -> ('0x' || substr(md5(substr(t, i::INT, {k})), 1, 8))::BIGINT)
+           AS grams
+  FROM d
+),
+s AS (
+  SELECT doc_id,
+         CASE WHEN len(grams) - {w - 1} >= 1 THEN
+           list_transform(range(1, len(grams) - {w - 1} + 1),
+                          j -> list_min(grams[j:j+{w - 1}]))
+         WHEN len(grams) >= 1 THEN [list_min(grams)]
+         ELSE [] END AS sel
+  FROM g
+)
+SELECT doc_id, unnest(list_sort(list_distinct(sel)))::BIGINT AS fp FROM s
+"""

@@ -164,3 +164,60 @@ def test_cosine_sim(spark):
     expected = (1 * 2 + 2 * 3) / (math.sqrt(5) * math.sqrt(13))
     assert vals[0] == pytest.approx(expected)
     assert vals[1] == 0.0  # zero vector -> 0 (reference s2and/text.py:391)
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (functions/hashing.py)
+# ---------------------------------------------------------------------------
+
+def test_winnowing_matches_python_mirror(spark):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from ent_res_feedback_spark.functions.hashing import winnowing_fingerprints
+
+    def py_winnow(s, k=5, w=4):
+        grams = [
+            int(hashlib.md5(s[i : i + k].encode()).hexdigest()[:8], 16)
+            for i in range(len(s) - k + 1)
+        ]
+        if not grams:
+            return []
+        if len(grams) < w:
+            return sorted({min(grams)})
+        sel = {min(grams[j : j + w]) for j in range(len(grams) - w + 1)}
+        return sorted(sel)
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "abcdefgh",
+        "abcd",        # shorter than k: no grams
+        "abcde",       # exactly one gram
+        "aaaaaaaaaa",  # constant text: one distinct hash
+        "",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {
+        r["text"]: sorted(r["fps"])
+        for r in df.select(
+            "text", winnowing_fingerprints(F.col("text")).alias("fps")
+        ).collect()
+    }
+    for t in texts:
+        assert got[t] == py_winnow(t), f"mismatch for {t!r}"
+
+
+def test_winnowing_edit_robust(spark):
+    from pyspark.sql import functions as F
+
+    from ent_res_feedback_spark.functions.hashing import winnowing_fingerprints
+
+    base = "entity resolution at scale requires blocking and careful scoring"
+    edited = base.replace("careful", "carefux")
+    df = spark.createDataFrame([(base,), (edited,)], "text string")
+    rows = df.select(winnowing_fingerprints(F.col("text")).alias("f")).collect()
+    a, b = set(rows[0]["f"]), set(rows[1]["f"])
+    # a one-char edit perturbs only windows near the edit: most survive
+    assert len(a & b) / len(a | b) >= 0.5
+    assert a != b

@@ -93,6 +93,11 @@ _os.makedirs(evdir, exist_ok=True)
 extra["spark.eventLog.enabled"] = "true"
 extra["spark.eventLog.dir"] = "file://" + evdir
 extra["spark.eventLog.compress"] = "false"
+# repeated full-pipeline runs in ONE JVM: old localCheckpoint RDD blocks
+# are only released when their Python references are GC'd AND the
+# ContextCleaner runs — force both so block storage doesn't grow across
+# repeats (a prior 3-repeat run died with a killed Python worker)
+extra["spark.cleaner.periodicGC.interval"] = "60s"
 spark = get_spark("er-scaling", cores=cores, shuffle_partitions=shuffle_parts,
                   extra_conf=extra)
 # Distributed corpus generation (corpus.spark_corpus): identical documents
@@ -121,8 +126,10 @@ def er_job(d, out_path):
 # to zero on real corpora — measured 110s first run vs 8s steady-state),
 # then the timed full run. Identical for both arms.
 er_job(docs, "/tmp/er_scaling_warm_%d" % cores)
+import gc as _gc
 walls = []
 for _rep in range(repeats):
+    _gc.collect()  # drop py4j refs to the previous run's checkpointed RDDs
     t_rep = time.time()
     if _rep == 0:
         t0_ms = int(t_rep * 1000)
@@ -215,11 +222,25 @@ def run_scaling(
         # an honest N-core-node proxy.
         if shutil_which("taskset") and (os.cpu_count() or 0) >= cores:
             cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-        out = subprocess.run(cmd, capture_output=True, text=True, timeout=14400)
-        line = [ln for ln in out.stdout.splitlines() if ln.startswith("RESULT ")]
+        line = []
+        for attempt in range(2):  # one retry per arm: worker deaths on a
+            # shared sandbox are transient and a dead arm wastes the other
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=14400
+            )
+            line = [
+                ln for ln in out.stdout.splitlines() if ln.startswith("RESULT ")
+            ]
+            if line:
+                break
+            print(
+                f"# arm cores={cores} attempt {attempt} failed:\n"
+                f"{out.stderr[-1500:]}",
+                file=sys.stderr,
+            )
         if not line:
             raise RuntimeError(
-                f"scaling child (cores={cores}) failed:\n{out.stderr[-3000:]}"
+                f"scaling child (cores={cores}) failed twice:\n{out.stderr[-3000:]}"
             )
         results[cores] = json.loads(line[0][len("RESULT "):])
         jline = [ln for ln in out.stdout.splitlines() if ln.startswith("JOBS ")]

@@ -42,6 +42,15 @@ def main() -> int:
     p.add_argument("--salt-buckets", type=int, default=8)
     p.add_argument("--max-block-size", type=int, default=None)
     p.add_argument("--seeds", default=None, help="optional seed-constraints parquet")
+    p.add_argument(
+        "--sink-buckets",
+        type=int,
+        default=0,
+        help="if >0, write clusters partitioned by pmod(xxhash64(cluster_id), N) "
+        "— co-locates each cluster's rows in one folder for downstream "
+        "cluster-scoped reads without a shuffle (partitioning by raw "
+        "cluster_id would create one dir per cluster: 10^9+ dirs at scale)",
+    )
     args = p.parse_args()
 
     from ent_res_feedback_spark.pipeline import ERConfig, run_pipeline
@@ -60,9 +69,17 @@ def main() -> int:
     )
     t0 = time.time()
     res = run_pipeline(docs, cfg, seeds=seeds)
-    res["clusters"].write.mode("overwrite").parquet(
-        os.path.join(args.output, "clusters")
-    )
+    clusters = res["clusters"]
+    writer = clusters.write.mode("overwrite")
+    if args.sink_buckets > 0:
+        from pyspark.sql import functions as F
+
+        clusters = clusters.withColumn(
+            "cluster_bucket",
+            F.pmod(F.xxhash64("cluster_id"), F.lit(args.sink_buckets)).cast("int"),
+        )
+        writer = clusters.write.mode("overwrite").partitionBy("cluster_bucket")
+    writer.parquet(os.path.join(args.output, "clusters"))
     res["lineage"].write.mode("overwrite").parquet(
         os.path.join(args.metrics_dir, "lineage")
     )

@@ -221,3 +221,45 @@ def test_winnowing_edit_robust(spark):
     # a one-char edit perturbs only windows near the edit: most survive
     assert len(a & b) / len(a | b) >= 0.5
     assert a != b
+
+
+def test_winnowing_randomized_parity(spark):
+    """100 random strings (fixed seed): Spark expression == python mirror,
+    including short/empty/repetitive edge shapes."""
+    import hashlib
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ent_res_feedback_spark.functions.hashing import winnowing_fingerprints
+
+    def py_winnow(s, k=5, w=4):
+        grams = [
+            int(hashlib.md5(s[i : i + k].encode()).hexdigest()[:8], 16)
+            for i in range(len(s) - k + 1)
+        ]
+        if not grams:
+            return []
+        if len(grams) < w:
+            return sorted({min(grams)})
+        return sorted(
+            {min(grams[j : j + w]) for j in range(len(grams) - w + 1)}
+        )
+
+    rng = random.Random(1234)
+    alphabet = "ab cd"  # tiny alphabet: maximizes duplicate k-grams/ties
+    texts = [""] + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 40)))
+        for _ in range(99)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, text string"
+    )
+    got = {
+        r["i"]: sorted(r["fps"])
+        for r in df.select(
+            "i", winnowing_fingerprints(F.col("text")).alias("fps")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == py_winnow(t), f"mismatch for {t!r}"

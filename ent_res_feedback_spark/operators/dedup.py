@@ -141,27 +141,71 @@ def simhash_near_duplicates(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    prefix_bits: int = 16,
-    max_hamming: int = 8,
+    max_hamming: int = 3,
+    num_blocks: int = 4,
 ) -> DataFrame:
-    """SimHash near-dup: 64-bit fingerprint (Arrow-batched numpy kernel),
-    bucket by the top ``prefix_bits`` bits (one rotation — production
-    would union several rotations), verify by Hamming distance via
-    bit_count(xor)."""
+    """SimHash near-dup with a RECALL GUARANTEE: 64-bit fingerprint
+    (Arrow-batched numpy kernel), candidate generation by bit-block
+    decomposition, exact ``bit_count(xor)`` verification.
+
+    Pigeonhole (Manku, Jain & Das Sarma, "Detecting Near-Duplicates for
+    Web Crawling", WWW'07): split the 64 bits into ``num_blocks``
+    contiguous blocks and bucket each document once per block value; any
+    pair within Hamming distance < num_blocks agrees on at least one
+    whole block, so with the default (d=3, b=4, 16-bit blocks — the
+    classic web-dedup config) every qualifying pair collides in >= 1
+    bucket. Larger ``max_hamming`` needs ``num_blocks > max_hamming``
+    (asserted). The candidate dedup shuffles bare id pairs; fingerprints
+    re-join once for verification."""
+    if max_hamming >= num_blocks:
+        raise ValueError(
+            f"recall guarantee needs num_blocks > max_hamming "
+            f"(got {num_blocks} blocks, d={max_hamming})"
+        )
+    if 64 % num_blocks != 0:
+        raise ValueError("num_blocks must divide 64 (whole-bit blocks)")
     toks = tokenize(normalize_text_ascii(F.col(text_col)))
     slim = docs.select(
         F.col(id_col), hashing.simhash64(toks).alias("simhash")
     ).where(F.col("simhash").isNotNull())
-    bucket = F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits)
-    slim = slim.withColumn("block_key", bucket.cast("string"))
-    pairs = within_block_pairs(
-        slim.select("block_key", id_col, "simhash"), key="block_key", id_col=id_col
+    width = 64 // num_blocks
+    block_keys = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(i)),
+                F.shiftrightunsigned(
+                    F.shiftleft(F.col("simhash"), i * width), 64 - width
+                ).cast("string"),
+            )
+            for i in range(num_blocks)
+        ]
+    )
+    banded = slim.select(
+        F.col(id_col), F.explode(block_keys).alias("block_key")
+    )
+    cand_ids = (
+        within_block_pairs(banded, key="block_key", id_col=id_col)
+        .select(id_col + "_1", id_col + "_2")
+        .distinct()
+    )
+    fps = slim.select(F.col(id_col), "simhash")
+    cands = cand_ids.join(
+        fps.select(
+            F.col(id_col).alias(id_col + "_1"), F.col("simhash").alias("simhash_1")
+        ),
+        id_col + "_1",
+    ).join(
+        fps.select(
+            F.col(id_col).alias(id_col + "_2"), F.col("simhash").alias("simhash_2")
+        ),
+        id_col + "_2",
     )
     hamming = F.bit_count(
         F.col("simhash_1").bitwiseXOR(F.col("simhash_2"))
     )
     return (
-        pairs.withColumn("hamming", hamming)
+        cands.withColumn("hamming", hamming)
         .where(F.col("hamming") <= max_hamming)
         .select(id_col + "_1", id_col + "_2", "hamming")
     )

@@ -113,3 +113,67 @@ def test_simhash_exact_dups_zero_hamming(spark):
     # zero-hamming pairs must include all same-token-set pairs that share
     # the 16-bit prefix bucket (they do: identical fingerprint)
     assert want <= got
+
+
+def test_simhash_block_decomposition_recall_guarantee(spark):
+    """Pigeonhole recall: EVERY pair within max_hamming of each other is
+    found (brute-force cross-check), not just same-prefix pairs."""
+    import itertools
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ent_res_feedback_spark.functions import hashing
+    from ent_res_feedback_spark.functions.text import normalize_text_ascii
+    from ent_res_feedback_spark.operators.dedup import (
+        simhash_near_duplicates,
+        tokenize,
+    )
+
+    base = "spark native entity resolution with blocking scoring clustering"
+    variants = [
+        base,
+        # same token SET, different order -> identical fingerprint
+        # (hamming 0): a guaranteed within-d pair for the recall assertion
+        "clustering scoring blocking with resolution entity native spark",
+        base + " extra",
+        base.replace("blocking", "blocks"),
+        base.replace("spark", "flink").replace("entity", "record"),
+        "completely different text about oceans and volcano geology maps",
+        "completely different text about oceans and volcano geology map",
+    ]
+    df = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(variants)], "doc_id string, text string"
+    )
+    d = 3
+    got = {
+        tuple(sorted((r["doc_id_1"], r["doc_id_2"])))
+        for r in simhash_near_duplicates(df, max_hamming=d).collect()
+    }
+    # brute force over the same fingerprints
+    fps = {
+        r["doc_id"]: r["sh"]
+        for r in df.select(
+            "doc_id",
+            hashing.simhash64(tokenize(normalize_text_ascii(F.col("text")))).alias("sh"),
+        ).collect()
+    }
+    want = {
+        tuple(sorted((a, b)))
+        for a, b in itertools.combinations(fps, 2)
+        if bin(fps[a] ^ fps[b]).count("1") <= d
+    }
+    assert got == want
+    assert len(want) >= 1  # fixture actually exercises a near-dup pair
+
+
+def test_simhash_invalid_params_raise(spark):
+    import pytest as _pytest
+
+    from ent_res_feedback_spark.operators.dedup import simhash_near_duplicates
+
+    df = spark.createDataFrame([("a", "x")], "doc_id string, text string")
+    with _pytest.raises(ValueError, match="num_blocks > max_hamming"):
+        simhash_near_duplicates(df, max_hamming=4, num_blocks=4)
+    with _pytest.raises(ValueError, match="divide 64"):
+        simhash_near_duplicates(df, max_hamming=3, num_blocks=5)

@@ -562,6 +562,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lid["lang"].alias("lang"),
         )
 
+    def q_simhash_fp(spark, sf_dir):
+        """Per-document 64-bit SimHash fingerprint: pins the Arrow-batched
+        numpy vote kernel bit-for-bit against a DuckDB replay (md5-derived
+        per-token bit vectors, +-1 votes, sign)."""
+        from ent_res_feedback_spark.functions.hashing import simhash64
+        from ent_res_feedback_spark.functions.text import normalize_text_ascii
+        from ent_res_feedback_spark.operators.blocking import tokenize
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        toks = tokenize(normalize_text_ascii(F.col("text")))
+        return docs.select(
+            "doc_id", simhash64(toks).cast("bigint").alias("simhash")
+        ).where(F.col("simhash").isNotNull())
+
     def q_winnow_fingerprints(spark, sf_dir):
         """Rolling-hash winnowing fingerprints (long form: one row per
         selected k-gram hash — arrays don't canonicalize driver-side)."""
@@ -872,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "lang_id_profile": q_lang_id_profile,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "simhash_fp": q_simhash_fp,
         "min_pair_edit": q_min_pair_edit,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
@@ -881,6 +896,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_assign": q_incremental_assign,
         "media_features": q_media_features,
     }
+
+
+def _simhash_sql() -> str:
+    """DuckDB replay of functions/hashing.simhash_kernel over the
+    documents table: per distinct token, h = first 16 md5 hex digits as a
+    UBIGINT; vote +-1 per bit; fingerprint bit i set iff votes > 0;
+    reinterpret the unsigned result as signed 64-bit (the kernel's
+    two's-complement storage)."""
+    toks = _TOKS.format(col="text")
+    return f"""
+WITH d AS (
+  SELECT doc_id, list_distinct(list_filter({toks}, t -> length(t) > 0)) AS ts
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(ts) AS t FROM d WHERE len(ts) > 0
+),
+th AS (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h FROM tok
+),
+votes AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th, range(0, 64) r(i)
+  GROUP BY 1, 2
+),
+fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (1::UBIGINT << i)::HUGEINT ELSE 0 END) AS fpu
+  FROM votes GROUP BY 1
+)
+SELECT doc_id,
+       (CASE WHEN fpu >= 9223372036854775808 THEN fpu - 18446744073709551616
+             ELSE fpu END)::BIGINT AS simhash
+FROM fp
+"""
 
 
 def _winnow_sql() -> str:
@@ -1160,6 +1211,7 @@ FROM documents GROUP BY 1 HAVING count(*) > 1
 """,
         "fingerprints": f"SELECT doc_id, md5({norm}) AS fingerprint FROM documents",
         "winnow_fingerprints": _winnow_sql(),
+        "simhash_fp": _simhash_sql(),
         "minhash_bands": bands_sql,
         "dedup_near_jaccard": near_dup_sql,
         "text_profile": text_profile_sql,

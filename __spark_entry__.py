@@ -562,6 +562,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lid["lang"].alias("lang"),
         )
 
+    def q_pair_auroc(spark, sf_dir):
+        """A5 — distributed AUROC/AP over the scored pair frame, with
+        deterministic md5-parity labels (portable to DuckDB, unlike
+        xxhash64). Both metrics are computed from the per-distinct-score
+        contingency (operators/metrics.auroc_ap) — the pair frame never
+        reaches the driver; the final two scalars do."""
+        from ent_res_feedback_spark.operators.metrics import auroc_ap
+
+        scored = _er_pair_scores(spark, sf_dir)
+        lab = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.col("doc_id_1").cast("string"),
+                            F.col("doc_id_2").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).cast("double")
+        res = auroc_ap(scored.withColumn("label", lab))
+        return spark.createDataFrame(
+            [(round(res["auroc"], 6), round(res["average_precision"], 6))],
+            "auroc double, average_precision double",
+        )
+
     def q_simhash_fp(spark, sf_dir):
         """Per-document 64-bit SimHash fingerprint: pins the Arrow-batched
         numpy vote kernel bit-for-bit against a DuckDB replay (md5-derived
@@ -887,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_profile": q_lang_id_profile,
         "winnow_fingerprints": q_winnow_fingerprints,
         "simhash_fp": q_simhash_fp,
+        "pair_auroc": q_pair_auroc,
         "min_pair_edit": q_min_pair_edit,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
@@ -896,6 +930,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_assign": q_incremental_assign,
         "media_features": q_media_features,
     }
+
+
+def _auroc_sql() -> str:
+    """DuckDB replay of q_pair_auroc: same md5-parity labels, same
+    per-distinct-score contingency, same tie-corrected Mann-Whitney AUROC
+    and threshold-step AP (metrics.auroc_ap formulas verbatim)."""
+    return f"""
+WITH scored AS ({_SCORES_SQL_BODY}),
+lab AS (
+  SELECT score AS s,
+         (('0x' || substr(md5(doc_id_1::VARCHAR || '|' || doc_id_2::VARCHAR),
+                          1, 8))::BIGINT % 2)::DOUBLE AS label
+  FROM scored
+),
+g AS (SELECT s, sum(label) AS pos, sum(1 - label) AS neg FROM lab GROUP BY s),
+e AS (
+  SELECT s, pos, neg,
+         coalesce(sum(neg) OVER (ORDER BY s ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_neg_below,
+         sum(pos) OVER (ORDER BY s DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos_ge,
+         sum(pos + neg) OVER (ORDER BY s DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ge
+  FROM g
+),
+agg AS (
+  SELECT sum(pos) AS p, sum(neg) AS n,
+         sum(pos * (cum_neg_below + neg / 2)) AS u,
+         sum(pos * cum_pos_ge / cum_ge) AS ap_num
+  FROM e
+)
+SELECT round(u / (p * n), 6) AS auroc,
+       round(ap_num / p, 6) AS average_precision
+FROM agg
+"""
 
 
 def _simhash_sql() -> str:
@@ -1212,6 +1281,7 @@ FROM documents GROUP BY 1 HAVING count(*) > 1
         "fingerprints": f"SELECT doc_id, md5({norm}) AS fingerprint FROM documents",
         "winnow_fingerprints": _winnow_sql(),
         "simhash_fp": _simhash_sql(),
+        "pair_auroc": _auroc_sql(),
         "minhash_bands": bands_sql,
         "dedup_near_jaccard": near_dup_sql,
         "text_profile": text_profile_sql,

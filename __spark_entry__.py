@@ -1013,8 +1013,16 @@ def _lang_profile_sql() -> str:
     """Exact DuckDB replay of operators/langid.detect_language_profile:
     same trigram extraction, the same (lang, trigram, weight) literals
     (generated from langid.PROFILES — one source of truth), same
-    normalization, arg-max and reliability rule."""
-    from ent_res_feedback_spark.operators.langid import PROFILES
+    normalization, arg-max and reliability rule. The reliability
+    thresholds come from the same constants the operator defaults use,
+    so changing the Spark defaults cannot silently break oracle parity."""
+    from ent_res_feedback_spark.operators.langid import (
+        DEFAULT_MIN_MARGIN,
+        DEFAULT_MIN_SCORE,
+        PROFILES,
+    )
+
+    ms, mm = DEFAULT_MIN_SCORE, DEFAULT_MIN_MARGIN
 
     rows = []
     for lang, prof in sorted(PROFILES.items()):
@@ -1067,10 +1075,10 @@ best AS (
     ON b.doc_id = r.doc_id AND b.rk = 1 AND r.rk = 2
 )
 SELECT doc_id,
-       (best_score >= 8.0 AND (best_score - runner_score) >= 1.0) AS is_reliable,
-       (CASE WHEN best_score >= 8.0 AND (best_score - runner_score) >= 1.0
+       (best_score >= {ms} AND (best_score - runner_score) >= {mm}) AS is_reliable,
+       (CASE WHEN best_score >= {ms} AND (best_score - runner_score) >= {mm}
              THEN best_lang ELSE 'un' END = 'en') AS is_english,
-       CASE WHEN best_score >= 8.0 AND (best_score - runner_score) >= 1.0
+       CASE WHEN best_score >= {ms} AND (best_score - runner_score) >= {mm}
             THEN best_lang ELSE 'un' END AS lang,
        round(best_score, 6) AS score
 FROM best

@@ -78,7 +78,7 @@ from ent_res_feedback_spark.session import get_spark
 
 cores = int(sys.argv[1])
 n_entities = int(sys.argv[2])
-shuffle_parts = int(sys.argv[3]) if len(sys.argv) > 3 else None
+shuffle_parts = (int(sys.argv[3]) or None) if len(sys.argv) > 3 else None
 repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 1
 import os as _os, shutil as _shutil
 extra = {}
@@ -208,13 +208,13 @@ def run_scaling(
     for cores in cores_pair:
         script = _SCALING_CHILD.replace("@@REPO@@", repo)
         cmd = [sys.executable, "-c", script, str(cores), str(n_entities)]
-        if shuffle_partitions:
-            # IDENTICAL shuffle partitioning for both arms: task granularity
-            # fine enough that the big arm doesn't lose a whole straggler
-            # wave (32 parts / 8 cores = 4 waves loses up to 25% to the
-            # tail; 64 parts = 8 waves caps the loss at 12.5%).
-            cmd.append(str(shuffle_partitions))
-            cmd.append(str(repeats))
+        # IDENTICAL shuffle partitioning for both arms: task granularity
+        # fine enough that the big arm doesn't lose a whole straggler
+        # wave (32 parts / 8 cores = 4 waves loses up to 25% to the
+        # tail; 64 parts = 8 waves caps the loss at 12.5%).
+        # 0 = sentinel for "unset" so repeats always gets forwarded.
+        cmd.append(str(shuffle_partitions or 0))
+        cmd.append(str(repeats))
         # CPU-pin each arm to exactly `cores` CPUs: an N-core run on an
         # M-core box would otherwise spill its Python UDF workers onto the
         # idle cores, overstating N-core throughput (a cluster executor

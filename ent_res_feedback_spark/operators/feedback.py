@@ -90,8 +90,11 @@ def run_feedback_loop(
 ) -> dict:
     """Bounded feedback loop (FB4).
 
-    labeler(doc_id_1, doc_id_2) -> 0/1 gold label (the simulation oracle,
-    like the reference's gold-cluster comparison, ecc.py:845-860).
+    labeler(doc_id_1, doc_id_2) -> 0/1 gold label, or None to abstain
+    (pair unknown to the oracle — no constraint is synthesized for it;
+    the simulation oracle mirrors the reference's gold-cluster
+    comparison, ecc.py:845-860). A round where every selected pair is
+    abstained ends the loop (no new information).
     metric_fn(clusters_df) -> float, optional early-exit metric
     (stops when it reaches 1.0).
 
@@ -119,9 +122,13 @@ def run_feedback_loop(
         new_seeds = []
         for r in uncertain:
             label = labeler(r["doc_id_1"], r["doc_id_2"])
+            if label is None:  # labeler abstained — no constraint for it
+                continue
             kind = "require" if label == 1 else "disallow"
             new_seeds.append((r["doc_id_1"], r["doc_id_2"], kind))
             state.touched_blocks.add(r["block_key"])
+        if not new_seeds:
+            break
         state.seeds.extend(new_seeds)
         seeds_df = spark.createDataFrame(
             state.seeds, "doc_id_1 string, doc_id_2 string, kind string"

@@ -67,6 +67,11 @@ _FUNCTION_WORDS: dict[str, list[str]] = {
 
 _PROFILE_SIZE = 120
 
+# Reliability thresholds — the single source of truth for both the Spark
+# operator defaults and the DuckDB oracle template (__spark_entry__).
+DEFAULT_MIN_SCORE = 8.0
+DEFAULT_MIN_MARGIN = 1.0
+
 
 def _build_profile(words: list[str], k: int = _PROFILE_SIZE) -> dict[str, int]:
     """Trigram profile of the padded word list: weight = k - rank.
@@ -109,7 +114,9 @@ def _lang_score(trigrams: Column, profile: dict[str, int]) -> Column:
 
 
 def detect_language_profile(
-    text: Column, min_score: float = 8.0, min_margin: float = 1.0
+    text: Column,
+    min_score: float = DEFAULT_MIN_SCORE,
+    min_margin: float = DEFAULT_MIN_MARGIN,
 ) -> Column:
     """Profile-based language ID -> struct(is_reliable, is_english, lang,
     score). ``lang`` is the arg-max language; reliability requires the

@@ -71,11 +71,23 @@ def _min_pair_edit_py(
     # decision
     all_clusters = sorted(set(assign.values()) | {"dummy"})
 
+    # the reference dedups labeled pairs into tp/tn ORDERED-TUPLE sets
+    # before the objective loop (eval.py:1092-1097), so a duplicate
+    # labeled pair counts once in the objective (while still counting
+    # per-occurrence in the wrong-frequency Counter below — also
+    # reference behavior, eval.py:1117-1119)
+    tp_sigs = {(s1, s2) for s1, s2, gold in pairs if gold}
+    tn_sigs = {(s1, s2) for s1, s2, gold in pairs if not gold}
+
     def objective() -> int:
-        # -(fp + fn) over ALL labeled pairs (reference eval_current_cluster)
+        # -(fp + fn) over the deduped pair sets (reference
+        # eval_current_cluster, eval.py:1099-1115)
         bad = 0
-        for s1, s2, gold_same in pairs:
-            if (assign[s1] == assign[s2]) != gold_same:
+        for s1, s2 in tp_sigs:
+            if assign[s1] != assign[s2]:
+                bad += 1
+        for s1, s2 in tn_sigs:
+            if assign[s1] == assign[s2]:
                 bad += 1
         return -bad
 
@@ -135,6 +147,11 @@ def min_pair_edit(
     )
 
     def _per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        # canonical pair order: applyInPandas hands rows in shuffle order,
+        # which is not guaranteed stable across runs; sorting pins the
+        # Counter insertion order (the most_common tie-break) so the
+        # result is deterministic and oracle-replayable
+        pdf = pdf.sort_values(["doc_id_1", "doc_id_2"])
         assign: dict[str, str] = {}
         pairs: list[tuple[str, str, bool]] = []
         for r in pdf.itertuples(index=False):

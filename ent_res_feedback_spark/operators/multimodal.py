@@ -190,12 +190,17 @@ def resize_media(
             if len(pdf) == 0:
                 continue
             pixels = []
-            for p, m in zip(pdf["payload"], pdf["meta"]):
+            for ref, p, m in zip(pdf["media_ref"], pdf["payload"], pdf["meta"]):
                 if p is None:
                     pixels.append(None)
                     continue
-                h = int(m["height"]) if m is not None and m["height"] else 64
-                w = int(m["width"]) if m is not None and m["width"] else 64
+                h = int(m["height"]) if m is not None and m["height"] is not None else 64
+                w = int(m["width"]) if m is not None and m["width"] is not None else 64
+                if h <= 0 or w <= 0:
+                    raise ValueError(
+                        f"non-positive media dimensions {h}x{w} for "
+                        f"media_ref={ref!r} — malformed meta"
+                    )
                 img = decode_fn(bytes(p), h, w)
                 pixels.append(resize_bilinear(img, out_h, out_w).ravel().tolist())
             yield pd.DataFrame(

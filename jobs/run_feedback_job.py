@@ -55,8 +55,11 @@ def main() -> int:
         for r in labeled.select("doc_id_1", "doc_id_2", "label").collect()
     }
 
-    def labeler(a: str, b: str) -> int:
-        return gold.get((a, b), gold.get((b, a), 0))
+    def labeler(a: str, b: str) -> int | None:
+        # None (= abstain) for pairs the gold file doesn't cover:
+        # defaulting to 0 would silently inject gold-negative 'disallow'
+        # constraints for genuinely unlabeled pairs
+        return gold.get((a, b), gold.get((b, a)))
 
     def metric_fn(clusters_df):
         assignments = clusters_df.select("doc_id", "cluster_id")

@@ -652,10 +652,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pairs = within_block_pairs(mentions).select(
             "doc_id_1", "doc_id_2", "block_key"
         )
-        # deterministic labels: hash-parity of the pair (stable, mixed
-        # right/wrong) against single-cluster-per-block predictions
+        # deterministic labels: md5-parity of the pair (stable, mixed
+        # right/wrong, and portable — DuckDB computes the identical md5,
+        # unlike xxhash64) against single-cluster-per-block predictions
         labeled = pairs.withColumn(
-            "label", (F.pmod(F.xxhash64("doc_id_1", "doc_id_2"), F.lit(2))).cast("int")
+            "label",
+            F.substring(
+                F.md5(F.concat_ws("|", "doc_id_1", "doc_id_2")), 32, 1
+            ).isin(*"13579bdf").cast("int"),
         )
         assignments = mentions.select(
             "doc_id", F.col("block_key").alias("cluster_id")
@@ -1009,6 +1013,122 @@ def _winnow_sql() -> str:
     return sql_winnowing_query(_NORM.format(col="text"))
 
 
+def _min_edit_sql() -> str:
+    """Exact DuckDB replay of operators/min_edit.min_pair_edit on the
+    q_min_pair_edit inputs (reference greedy, s2and/eval.py:1064-1160).
+
+    The greedy is sequential within a block, but each step is a pure
+    function of (assignment, pairs), so a recursive CTE replays it: the
+    working row per block carries the assignment as parallel sorted
+    (akeys, albl) lists plus the fixed worst-ids queue, and each
+    recursion step evaluates every candidate flip via list lambdas —
+    strictly-improving argmax with first-in-sorted-order tie-break,
+    exactly the kernel's semantics. Wrong-pair counts after a step equal
+    -(chosen objective) because the pair set is distinct by
+    construction, which gives the early-exit check for free.
+    """
+    block = _block_sql("text")
+    odd = "('1','3','5','7','9','b','d','f')"
+    return f"""
+WITH RECURSIVE
+mentions AS (
+  SELECT doc_id, {block} AS block_key
+  FROM documents
+  WHERE length({block}) > 0
+),
+bp AS (
+  SELECT a.block_key, a.doc_id AS id1, b.doc_id AS id2,
+         (substr(md5(a.doc_id || '|' || b.doc_id), 32, 1) IN {odd}) AS gold
+  FROM mentions a JOIN mentions b USING (block_key)
+  WHERE a.doc_id < b.doc_id
+),
+plist AS (
+  SELECT block_key,
+         list({{'id1': id1, 'id2': id2, 'gold': gold}} ORDER BY id1, id2) AS prs
+  FROM bp GROUP BY block_key
+),
+wrong0 AS (
+  SELECT block_key, id1, id2,
+         row_number() OVER (PARTITION BY block_key ORDER BY id1, id2) AS rk
+  FROM bp WHERE NOT gold
+),
+appear AS (
+  -- Counter insertion order: id1 then id2 per wrong pair, pairs in
+  -- canonical lex order; most_common = (count desc, first insertion asc)
+  SELECT block_key, id, count(*) AS cnt, min(app) AS first_app
+  FROM (
+    SELECT block_key, id1 AS id, 2*rk-1 AS app FROM wrong0
+    UNION ALL
+    SELECT block_key, id2 AS id, 2*rk AS app FROM wrong0
+  ) GROUP BY 1, 2
+),
+worst AS (
+  SELECT block_key, list(id ORDER BY cnt DESC, first_app ASC) AS worst_ids
+  FROM appear GROUP BY block_key
+),
+ids AS (
+  SELECT DISTINCT block_key, id1 AS id FROM bp
+  UNION SELECT DISTINCT block_key, id2 AS id FROM bp
+),
+init AS (
+  SELECT i.block_key, list_sort(list(i.id)) AS akeys,
+         list_transform(list_sort(list(i.id)), d -> i.block_key) AS albl
+  FROM ids i GROUP BY i.block_key
+),
+state AS (
+  SELECT w.block_key, 0 AS i, n.akeys, n.albl, 0 AS steps, w.worst_ids,
+         len(w.worst_ids) AS n,
+         list_sort(list_distinct(list_append(n.albl, 'dummy'))) AS cands,
+         p.prs, TRUE AS active
+  FROM worst w JOIN init n USING (block_key) JOIN plist p USING (block_key)
+  UNION ALL
+  SELECT block_key, i + 1 AS i, akeys,
+         CASE WHEN flip IS NULL THEN albl
+              ELSE list_transform(albl, (v, j) -> CASE WHEN j = wpos THEN flip ELSE v END)
+         END AS albl,
+         steps + CASE WHEN flip IS NULL THEN 0 ELSE 1 END AS steps,
+         worst_ids, n, cands, prs,
+         ((CASE WHEN flip IS NULL THEN base_negobj ELSE best.negobj END) > 0
+          AND i + 1 < n) AS active
+  FROM (
+    SELECT *, CASE WHEN best.negobj < base_negobj THEN best.cand ELSE NULL END AS flip
+    FROM (
+      SELECT *,
+             len(list_filter(prs, p ->
+               (albl[list_position(akeys, p.id1)] = albl[list_position(akeys, p.id2)]) != p.gold
+             )) AS base_negobj,
+             list_sort(list_transform(list_filter(cands, c -> c != albl[wpos]), c ->
+               {{'negobj': len(list_filter(prs, p ->
+                   ((CASE WHEN p.id1 = wid THEN c ELSE albl[list_position(akeys, p.id1)] END)
+                    = (CASE WHEN p.id2 = wid THEN c ELSE albl[list_position(akeys, p.id2)] END))
+                   != p.gold)),
+                'cand': c}}))[1] AS best
+      FROM (
+        SELECT s.*, s.worst_ids[s.i + 1] AS wid,
+               list_position(s.akeys, s.worst_ids[s.i + 1]) AS wpos
+        FROM state s WHERE s.active
+      )
+    )
+  )
+),
+terminal AS (
+  SELECT block_key, steps, n FROM (
+    SELECT block_key, steps, n,
+           row_number() OVER (PARTITION BY block_key ORDER BY i DESC) AS r
+    FROM state
+  ) WHERE r = 1
+),
+blocks AS (SELECT DISTINCT block_key FROM bp)
+SELECT b.block_key,
+       round(CASE WHEN coalesce(t.n, 0) > 1
+                  THEN t.steps::DOUBLE / (t.n - 1)
+                  ELSE coalesce(t.steps, 0)::DOUBLE END, 6) AS min_edit_score,
+       coalesce(t.steps, 0)::BIGINT AS min_edit_count,
+       coalesce(t.n, 0)::BIGINT AS n_mistaken_ids
+FROM blocks b LEFT JOIN terminal t USING (block_key)
+"""
+
+
 def _lang_profile_sql() -> str:
     """Exact DuckDB replay of operators/langid.detect_language_profile:
     same trigram extraction, the same (lang, trigram, weight) literals
@@ -1295,9 +1415,11 @@ FROM documents GROUP BY 1 HAVING count(*) > 1
         "text_profile": text_profile_sql,
         "lang_id": lang_sql,
         "lang_id_profile": _lang_profile_sql(),
-        # min_pair_edit: greedy iterative local search — genuinely
-        # non-SQL-expressible; driver records the rows-only check, exact
-        # semantics are pinned by tests/test_min_edit.py goldens
+        # min_pair_edit: the greedy is sequential per block but each step
+        # is pure, so a recursive CTE replays it exactly (see
+        # _min_edit_sql docstring); semantics also pinned by
+        # tests/test_min_edit.py goldens
+        "min_pair_edit": _min_edit_sql(),
         "ann_topk": ann_sql,
         "embedding_label_centroid_sim": centroid_sql,
         "tpch_q1": """

@@ -134,13 +134,25 @@ def run_feedback_loop(
             state.seeds, "doc_id_1 string, doc_id_2 string, kind string"
         )
 
-        # lineage-bounded recompute: re-score only touched blocks
+        # lineage-bounded recompute: re-score only touched blocks. The
+        # touched set is a broadcast anti-join frame, not an isin()
+        # literal — after many rounds a literal list would inflate every
+        # round's plan (and resubmit the whole predicate to the JVM);
+        # the frame stays one broadcast regardless of round count.
         touched = sorted(state.touched_blocks)
+        touched_df = spark.createDataFrame(
+            [(b,) for b in touched], "block_key string"
+        )
         affected_docs = docs.join(
-            _docs_in_blocks(docs, cfg, touched), "doc_id", "left_semi"
+            _docs_in_blocks(docs, cfg, touched_df), "doc_id", "left_semi"
         )
         rescored = scored_pair_distances(affected_docs, cfg, seeds=seeds_df)
-        untouched = scored.where(~F.col("block_key").isin(touched))
+        untouched = scored.join(
+            F.broadcast(touched_df), "block_key", "left_anti"
+        )
+        # localCheckpoint() each round flattens the union lineage: the
+        # checkpointed RDD is the new root, so plan depth stays O(1) in
+        # the number of rounds rather than rounds-linear
         scored = untouched.unionByName(rescored).localCheckpoint()
         release_persisted(rescored)  # per-round: no cache accumulation
 
@@ -157,11 +169,15 @@ def run_feedback_loop(
     return {"clusters": clusters, "state": state, "scored": scored}
 
 
-def _docs_in_blocks(docs: DataFrame, cfg: ERConfig, blocks: list) -> DataFrame:
+def _docs_in_blocks(
+    docs: DataFrame, cfg: ERConfig, blocks_df: DataFrame
+) -> DataFrame:
     from ent_res_feedback_spark.operators.mentions import extract_mentions
 
     m = extract_mentions(docs, ascii_fast_path=cfg.ascii_fast_path)
-    return m.where(F.col("block_key").isin(blocks)).select("doc_id")
+    return m.join(F.broadcast(blocks_df), "block_key", "left_semi").select(
+        "doc_id"
+    )
 
 
 def _cluster_from(scored: DataFrame, docs: DataFrame, cfg: ERConfig) -> DataFrame:

@@ -221,14 +221,35 @@ def cluster_pair_rules(
     profiles_1: DataFrame,
     profiles_2: DataFrame,
     alias_keys: list[str] | None = None,
+    candidate_key: str | None = "last_first_initials",
 ) -> DataFrame:
     """Join two profile frames into (cluster_id_1, cluster_id_2) pairs and
     evaluate EVERY merge rule as columns — the batch shape for candidate
-    merge scoring. Callers pre-filter the candidate pairs (e.g. same
-    block) before calling; this is a plain cross of the two inputs."""
+    merge scoring.
+
+    Candidate generation is an EQUI-join by default: two clusters pair up
+    when they share at least one value of ``candidate_key`` (the
+    last-first-initial block, the same key the reference blocks on —
+    clusters that share no name block can never merge, so nothing real is
+    lost). This keeps the default path shuffle-joinable at any scale.
+    Pass ``candidate_key=None`` to opt into the quadratic cross product
+    explicitly (bounded inputs only — e.g. the per-block parity tests).
+    Note: with a candidate key, profiles whose key set is empty pair with
+    nothing (they have no name evidence to merge on).
+    """
     a = profiles_1.select([F.col(c).alias(c + "_1") for c in profiles_1.columns])
     b = profiles_2.select([F.col(c).alias(c + "_2") for c in profiles_2.columns])
-    pairs = a.crossJoin(b)
+    if candidate_key is None:
+        pairs = a.crossJoin(b)
+    else:
+        ka = a.select(
+            "cluster_id_1", F.explode(F.col(candidate_key + "_1")).alias("_ck")
+        )
+        kb = b.select(
+            "cluster_id_2", F.explode(F.col(candidate_key + "_2")).alias("_ck")
+        )
+        cand = ka.join(kb, "_ck").select("cluster_id_1", "cluster_id_2").distinct()
+        pairs = cand.join(a, "cluster_id_1").join(b, "cluster_id_2")
     return pairs.select(
         F.col("cluster_id_1"),
         F.col("cluster_id_2"),

@@ -77,3 +77,40 @@ def test_feedback_improves_f1(spark, corpus):
             assert dist == 0.0
         else:
             assert dist >= 1e4
+
+
+def test_many_rounds_stable_plan_and_results(spark):
+    """>=20 feedback rounds: the scored frame's plan must stay O(1) size
+    (broadcast anti-join + per-round localCheckpoint, not a growing
+    isin()/union lineage), and the incrementally maintained frame must
+    equal a from-scratch rescore with the same accumulated seeds."""
+    documents, gold, _ = generate_corpus(CorpusConfig(n_entities=12, seed=7))
+    docs = corpus_to_spark(spark, documents)
+    gold_map = dict(gold)
+
+    def labeler(d1, d2):
+        return int(gold_map[d1] == gold_map[d2])
+
+    cfg = ERConfig()
+    res = run_feedback_loop(
+        docs, labeler, cfg, max_rounds=22, pairs_per_round=2
+    )
+    state = res["state"]
+    assert state.rounds >= 20, f"loop ended early at round {state.rounds}"
+
+    # plan stays flat: localCheckpoint makes the frame a scan over the
+    # checkpointed RDD — a handful of plan lines no matter the rounds
+    plan_lines = len(
+        res["scored"]._jdf.queryExecution().optimizedPlan().toString().splitlines()
+    )
+    assert plan_lines < 20, f"plan grew to {plan_lines} lines"
+
+    # unchanged results: incremental frame == full rescore with all seeds
+    seeds_df = spark.createDataFrame(
+        state.seeds, "doc_id_1 string, doc_id_2 string, kind string"
+    )
+    full = scored_pair_distances(docs, cfg, seeds=seeds_df)
+    cols = ["doc_id_1", "doc_id_2", "block_key", "dist"]
+    got = sorted(map(tuple, res["scored"].select(*cols).collect()))
+    want = sorted(map(tuple, full.select(*cols).collect()))
+    assert got == want

@@ -52,9 +52,13 @@ def _rules_row(spark, ids_1, ids_2):
         "cluster_id", F.element_at(mapping, F.col("sig_id"))
     )
     profs = cluster_profiles(df)
+    # candidate_key=None: the goldens deliberately pair cross-name
+    # clusters (Sattar vs Konovalov) to pin rule VALUES, which the
+    # safe-by-default candidate join would (correctly) never generate
     out = cluster_pair_rules(
         profs.where(F.col("cluster_id") == "c1"),
         profs.where(F.col("cluster_id") == "c2"),
+        candidate_key=None,
     ).collect()
     assert len(out) == 1
     return out[0]
@@ -119,3 +123,52 @@ def test_has_year_gap(spark):
         ).collect()
     }
     assert got == {"a": True, "b": False, "c": False}
+
+
+def _all_profiles(spark):
+    cluster_of = {  # Sattar-ish ids -> s1/s2, Konovalov ids -> k1/k2
+        "0": "s1", "1": "s1", "2": "s2",
+        "3": "k1", "4": "k1", "5": "k2", "6": "k2", "7": "k2", "8": "k2",
+    }
+    mapping = F.create_map(
+        *[F.lit(x) for kv in cluster_of.items() for x in kv]
+    )
+    df = spark.createDataFrame(SIGS, SIG_SCHEMA).withColumn(
+        "cluster_id", F.element_at(mapping, F.col("sig_id"))
+    )
+    return cluster_profiles(df)
+
+
+def test_candidate_key_default_no_cartesian(spark):
+    """The default path must compile to an equi-join: no
+    CartesianProduct / BroadcastNestedLoopJoin anywhere in the plan."""
+    profs = _all_profiles(spark)
+    out = cluster_pair_rules(profs, profs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_candidate_key_matches_filtered_cross(spark):
+    """Default candidate-join output == explicit cross output restricted
+    to pairs sharing at least one last-first-initial (same rule values,
+    nothing else)."""
+    profs = _all_profiles(spark)
+    got = {
+        (r["cluster_id_1"], r["cluster_id_2"]): r.asDict()
+        for r in cluster_pair_rules(profs, profs).collect()
+    }
+    cross = cluster_pair_rules(profs, profs, candidate_key=None)
+    lfi = {
+        r["cluster_id"]: set(r["last_first_initials"])
+        for r in profs.collect()
+    }
+    want = {
+        (r["cluster_id_1"], r["cluster_id_2"]): r.asDict()
+        for r in cross.collect()
+        if lfi[r["cluster_id_1"]] & lfi[r["cluster_id_2"]]
+    }
+    assert set(got) == set(want)
+    assert got == want
+    # cross-name pairs (disjoint lfi) are correctly absent
+    assert ("s1", "k1") not in got and len(got) > 0

@@ -904,6 +904,133 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return features_long(extract_media_features(media_from_table(docs)))
 
+    def q_er_facets(spark, sf_dir):
+        """A6 input derivation — reference facet columns (block size,
+        cluster size, homonymity/synonymity pair counts) over the ER
+        pipeline's own clusters, with the first normalized token as the
+        full-name analog. Counts only: the np.round half-even bucketing
+        is pinned by tests/test_facets.py (DuckDB rounds half-up, so the
+        fraction columns are not portably hashable)."""
+        from ent_res_feedback_spark.operators.facets import derive_facets
+
+        docs = _docs_with_block(spark, sf_dir)
+        mentions = docs.where(F.length("block_key") > 0).select(
+            "doc_id",
+            "block_key",
+            F.split(F.col("norm_text"), " ").getItem(0).alias("full_name"),
+        )
+        clusters = _er_clusters(spark, sf_dir)
+        sig = mentions.join(clusters, "doc_id")
+        out = derive_facets(
+            sig, id_col="doc_id", block_col="block_key",
+            name_col="full_name", cluster_col="cluster_id",
+        )
+        return out.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "block_key",
+            F.col("block_size").cast("bigint").alias("block_size"),
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            F.col("homonymity_count").cast("bigint").alias("homonymity_count"),
+            F.col("synonymity_count").cast("bigint").alias("synonymity_count"),
+            F.col("pair_denominator").cast("bigint").alias("pair_denominator"),
+        )
+
+    def q_vote_scores(spark, sf_dir):
+        """M2 — N-way voting over three component scorers on the ER
+        pairs: the main 3-feature logistic plus two single-feature
+        logistics, soft-averaged with weights (2,1,1) and hard-voted by
+        weighted plurality (reference VotingClassifier,
+        model.py:879-981). Component scores round to 6 before the vote
+        so both engines compare identical doubles."""
+        from ent_res_feedback_spark.operators.scoring import (
+            vote_hard_col,
+            vote_soft_col,
+        )
+
+        feats = _er_pair_features(spark, sf_dir)
+
+        def r6(c):
+            # portable round-half-up: F.round/duckdb round() disagree on
+            # exact .5 boundaries of the binary double; floor(x*1e6+0.5)
+            # is bit-identical IEEE arithmetic in both engines
+            return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+        s_main = r6(_score_col())
+        s_jw = r6(F.lit(1.0) / (F.lit(1.0) + F.exp(-(4.0 * F.col("jw") - 2.0))))
+        s_tok = r6(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-(4.0 * F.col("tok_jaccard") - 2.0)))
+        )
+        cols = [s_main, s_jw, s_tok]
+        w = [2.0, 1.0, 1.0]
+        return feats.select(
+            "doc_id_1",
+            "doc_id_2",
+            r6(vote_soft_col(cols, w)).alias("soft_score"),
+            (vote_soft_col(cols, w) > 0.5).cast("bigint").alias("soft_label"),
+            vote_hard_col(cols, w).cast("bigint").alias("hard_label"),
+        )
+
+    def _gold_block_clusters(spark, sf_dir):
+        """Deterministic 'gold' partition for metric queries: the block
+        itself (or a per-doc singleton when the block is empty) — the
+        reference evaluates predicted clusters against a labeled
+        partition; the block partition is the deterministic stand-in the
+        testdata supports."""
+        docs = _docs_with_block(spark, sf_dir)
+        return docs.select(
+            "doc_id",
+            F.when(
+                F.length("block_key") > 0, F.concat(F.lit("b:"), F.col("block_key"))
+            )
+            .otherwise(F.concat(F.lit("d:"), F.col("doc_id").cast("string")))
+            .alias("cluster_id"),
+        )
+
+    def q_b3_per_item(spark, sf_dir):
+        """A1 — per-item B-cubed precision/recall of the ER pipeline's
+        clusters against the deterministic block partition. Per-item
+        quotients are single divisions of exact integer counts, so the
+        oracle replays them bit-exactly (metrics.b3 / facet_eval average
+        exactly these rows)."""
+        from ent_res_feedback_spark.operators.metrics import b3_per_item
+
+        pred = _er_clusters(spark, sf_dir)
+        gold = _gold_block_clusters(spark, sf_dir)
+        out = b3_per_item(pred, gold)
+        r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+        return out.select(
+            F.col("id").cast("bigint").alias("doc_id"),
+            r6(F.col("p_i")).alias("p_i"),
+            r6(F.col("r_i")).alias("r_i"),
+        )
+
+    def q_cluster_prf(spark, sf_dir):
+        """A2 — pairwise cluster P/R/F1 (with the self-pair singleton
+        correction) of the ER clusters vs the block partition, via the
+        one-aggregation grouping-sets form. Pair totals are exact
+        integers; the derived ratios are single/identical double ops in
+        both engines."""
+        from ent_res_feedback_spark.operators.metrics import pairwise_cluster_prf
+
+        pred = _er_clusters(spark, sf_dir)
+        gold = _gold_block_clusters(spark, sf_dir)
+        res = pairwise_cluster_prf(pred, gold)
+
+        def r6(x: float) -> float:
+            import math
+
+            return math.floor(x * 1e6 + 0.5) / 1e6
+
+        row = (
+            int(res["n_pred"]), int(res["n_gold"]), int(res["n_both"]),
+            r6(res["precision"]), r6(res["recall"]), r6(res["f1"]),
+        )
+        return spark.createDataFrame(
+            [row],
+            "n_pred bigint, n_gold bigint, n_both bigint, "
+            "precision double, recall double, f1 double",
+        )
+
     return {
         "er_block_key": q_block_key,
         "er_block_census": q_block_census,
@@ -913,6 +1040,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_edges": q_edges,
         "er_clusters": q_clusters,
         "er_cluster_sizes": q_cluster_sizes,
+        "er_facets": q_er_facets,
+        "vote_scores": q_vote_scores,
+        "b3_per_item": q_b3_per_item,
+        "cluster_prf": q_cluster_prf,
         "dedup_exact": q_dedup_exact,
         "fingerprints": q_fingerprints,
         "minhash_bands": q_minhash_bands,
@@ -1011,6 +1142,136 @@ def _winnow_sql() -> str:
     from ent_res_feedback_spark.functions.hashing import sql_winnowing_query
 
     return sql_winnowing_query(_NORM.format(col="text"))
+
+
+def _gold_sql() -> str:
+    """Block partition 'gold' clusters (mirror of _gold_block_clusters)."""
+    block = _block_sql("text")
+    return f"""
+SELECT doc_id,
+       CASE WHEN length({block}) > 0 THEN 'b:' || {block}
+            ELSE 'd:' || doc_id END AS gc
+FROM documents
+"""
+
+
+def _b3_per_item_sql() -> str:
+    """DuckDB replay of q_b3_per_item: same clusters (recursive CTE),
+    same block-partition gold, same contingency-quotient per item."""
+    return f"""
+WITH RECURSIVE clusters AS ({_CLUSTERS_SQL_BODY}),
+gold AS ({_gold_sql()}),
+j AS (
+  SELECT c.doc_id, c.cluster_id AS pc, g.gc
+  FROM clusters c JOIN gold g USING (doc_id)
+),
+cont AS (SELECT pc, gc, count(*) AS npg FROM j GROUP BY 1, 2),
+ps AS (SELECT pc, count(*) AS np FROM j GROUP BY 1),
+gs AS (SELECT gc, count(*) AS ng FROM j GROUP BY 1)
+SELECT j.doc_id::BIGINT AS doc_id,
+       floor((cont.npg::DOUBLE / ps.np)*1e6 + 0.5)/1e6 AS p_i,
+       floor((cont.npg::DOUBLE / gs.ng)*1e6 + 0.5)/1e6 AS r_i
+FROM j
+JOIN cont USING (pc, gc)
+JOIN ps USING (pc)
+JOIN gs USING (gc)
+"""
+
+
+def _cluster_prf_sql() -> str:
+    """DuckDB replay of q_cluster_prf: exact integer pair totals with the
+    self-pair correction, identical double ratio arithmetic."""
+    return f"""
+WITH RECURSIVE clusters AS ({_CLUSTERS_SQL_BODY}),
+gold AS ({_gold_sql()}),
+j AS (
+  SELECT c.doc_id, c.cluster_id AS pc, g.gc
+  FROM clusters c JOIN gold g USING (doc_id)
+),
+tot AS (
+  SELECT
+    (SELECT sum(c*(c+1)//2) FROM (SELECT count(*) AS c FROM j GROUP BY pc)) AS n_pred,
+    (SELECT sum(c*(c+1)//2) FROM (SELECT count(*) AS c FROM j GROUP BY gc)) AS n_gold,
+    (SELECT sum(c*(c+1)//2) FROM (SELECT count(*) AS c FROM j GROUP BY pc, gc)) AS n_both
+),
+ratios AS (
+  SELECT n_pred, n_gold, n_both,
+         n_both::DOUBLE / n_pred AS p,
+         n_both::DOUBLE / n_gold AS r
+  FROM tot
+)
+SELECT n_pred::BIGINT AS n_pred, n_gold::BIGINT AS n_gold,
+       n_both::BIGINT AS n_both,
+       floor(p*1e6 + 0.5)/1e6 AS precision,
+       floor(r*1e6 + 0.5)/1e6 AS recall,
+       floor((2.0*p*r/(p+r))*1e6 + 0.5)/1e6 AS f1
+FROM ratios
+"""
+
+
+def _vote_sql() -> str:
+    """DuckDB replay of q_vote_scores: identical component sigmoids
+    (rounded to 6 before voting, so the FP arithmetic downstream is
+    bit-reproducible), same (2,1,1) weights, same strict > tie rules."""
+    return f"""
+WITH feats AS ({_PAIR_FEATURES_SQL_BODY}),
+comp AS (
+  SELECT doc_id_1, doc_id_2,
+         floor((1.0 / (1.0 + exp(-(-4.0 + 2.0*jw + 1.0*lev_sim + 4.0*tok_jaccard))))*1e6 + 0.5)/1e6 AS s_main,
+         floor((1.0 / (1.0 + exp(-(4.0*jw - 2.0))))*1e6 + 0.5)/1e6 AS s_jw,
+         floor((1.0 / (1.0 + exp(-(4.0*tok_jaccard - 2.0))))*1e6 + 0.5)/1e6 AS s_tok
+  FROM feats
+)
+SELECT doc_id_1, doc_id_2,
+       floor(((2.0*s_main + 1.0*s_jw + 1.0*s_tok) / 4.0)*1e6 + 0.5)/1e6 AS soft_score,
+       ((2.0*s_main + 1.0*s_jw + 1.0*s_tok) / 4.0 > 0.5)::BIGINT AS soft_label,
+       ((CASE WHEN s_main > 0.5 THEN 2.0 ELSE 0.0 END
+         + CASE WHEN s_jw > 0.5 THEN 1.0 ELSE 0.0 END
+         + CASE WHEN s_tok > 0.5 THEN 1.0 ELSE 0.0 END)
+        > 4.0 - (CASE WHEN s_main > 0.5 THEN 2.0 ELSE 0.0 END
+                 + CASE WHEN s_jw > 0.5 THEN 1.0 ELSE 0.0 END
+                 + CASE WHEN s_tok > 0.5 THEN 1.0 ELSE 0.0 END))::BIGINT AS hard_label
+FROM comp
+"""
+
+
+def _er_facets_sql() -> str:
+    """DuckDB replay of q_er_facets: same mentions/name/cluster inputs
+    (the recursive-CTE clusters), same group-count identities
+    (h = |b,n| - |b,n,c|, s = |b,c| - |b,n,c|, denom = |b| - 1)."""
+    norm = _NORM.format(col="text")
+    block = _block_sql("text")
+    return f"""
+WITH RECURSIVE clusters AS ({_CLUSTERS_SQL_BODY}),
+mentions AS (
+  SELECT doc_id, {block} AS block_key,
+         string_split({norm}, ' ')[1] AS full_name
+  FROM documents
+  WHERE length({block}) > 0
+),
+sig AS (
+  SELECT m.doc_id, m.block_key, m.full_name, c.cluster_id
+  FROM mentions m JOIN clusters c USING (doc_id)
+),
+by_b AS (SELECT block_key, count(*) AS block_size FROM sig GROUP BY 1),
+by_bn AS (SELECT block_key, full_name, count(*) AS cnt_bn FROM sig GROUP BY 1, 2),
+by_bc AS (SELECT block_key, cluster_id, count(*) AS cnt_bc FROM sig GROUP BY 1, 2),
+by_bnc AS (SELECT block_key, full_name, cluster_id, count(*) AS cnt_bnc
+           FROM sig GROUP BY 1, 2, 3),
+by_c AS (SELECT cluster_id, count(*) AS cluster_size FROM sig GROUP BY 1)
+SELECT s.doc_id::BIGINT AS doc_id, s.block_key,
+       b.block_size::BIGINT AS block_size,
+       c.cluster_size::BIGINT AS cluster_size,
+       (bn.cnt_bn - bnc.cnt_bnc)::BIGINT AS homonymity_count,
+       (bc.cnt_bc - bnc.cnt_bnc)::BIGINT AS synonymity_count,
+       (b.block_size - 1)::BIGINT AS pair_denominator
+FROM sig s
+JOIN by_b b USING (block_key)
+JOIN by_bn bn USING (block_key, full_name)
+JOIN by_bc bc USING (block_key, cluster_id)
+JOIN by_bnc bnc USING (block_key, full_name, cluster_id)
+JOIN by_c c USING (cluster_id)
+"""
 
 
 def _min_edit_sql() -> str:
@@ -1401,6 +1662,10 @@ FROM d a JOIN d b USING (block_key) WHERE a.doc_id < b.doc_id
 SELECT cluster_id, count(*)::BIGINT AS n_docs
 FROM ({_CLUSTERS_SQL_BODY}) GROUP BY cluster_id
 """,
+        "er_facets": _er_facets_sql(),
+        "vote_scores": _vote_sql(),
+        "b3_per_item": _b3_per_item_sql(),
+        "cluster_prf": _cluster_prf_sql(),
         "dedup_exact": f"""
 SELECT md5({norm}) AS fingerprint, min(doc_id)::BIGINT AS survivor_id,
        count(*)::BIGINT AS group_size

@@ -43,6 +43,31 @@ def pairwise_prf(labeled_pairs: DataFrame, assignments: DataFrame) -> dict:
     }
 
 
+def b3_per_item(
+    pred: DataFrame, gold: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-item B-cubed rows (id, p_i, r_i): precision_i = |P∩G|/|P|,
+    recall_i = |P∩G|/|G| — the exact quotients that ``b3`` and
+    ``facet_eval`` average. Contingency + size joins only; every join is
+    on a cluster key, no pair materialization."""
+    p = pred.select(F.col(id_col).alias("id"), F.col("cluster_id").alias("pc"))
+    g = gold.select(F.col(id_col).alias("id"), F.col("cluster_id").alias("gc"))
+    j = p.join(g, "id")
+    cont = j.groupBy("pc", "gc").count().withColumnRenamed("count", "npg")
+    psize = j.groupBy("pc").count().withColumnRenamed("count", "np")
+    gsize = j.groupBy("gc").count().withColumnRenamed("count", "ng")
+    return (
+        j.join(cont, ["pc", "gc"])
+        .join(psize, "pc")
+        .join(gsize, "gc")
+        .select(
+            "id",
+            (F.col("npg") / F.col("np")).alias("p_i"),
+            (F.col("npg") / F.col("ng")).alias("r_i"),
+        )
+    )
+
+
 def b3(pred: DataFrame, gold: DataFrame, id_col: str = "doc_id") -> dict:
     """A1 — B-cubed P/R/F1.
 
@@ -229,23 +254,8 @@ def facet_eval(
     """A6 — B3-F1 bucketed by a facet column (reference eval.py:196-427):
     per-item B3 precision/recall from the contingency join, averaged per
     facet bucket. Returns (facet, precision, recall, f1, n)."""
-    p = pred.select(F.col(id_col).alias("id"), F.col("cluster_id").alias("pc"))
-    g = gold.select(F.col(id_col).alias("id"), F.col("cluster_id").alias("gc"))
     fct = facets.select(F.col(id_col).alias("id"), F.col(facet_col).alias("facet"))
-    j = p.join(g, "id")
-    cont = j.groupBy("pc", "gc").count().withColumnRenamed("count", "npg")
-    psize = j.groupBy("pc").count().withColumnRenamed("count", "np")
-    gsize = j.groupBy("gc").count().withColumnRenamed("count", "ng")
-    per_item = (
-        j.join(cont, ["pc", "gc"])
-        .join(psize, "pc")
-        .join(gsize, "gc")
-        .select(
-            "id",
-            (F.col("npg") / F.col("np")).alias("p_i"),
-            (F.col("npg") / F.col("ng")).alias("r_i"),
-        )
-    )
+    per_item = b3_per_item(pred, gold, id_col)
     out = (
         per_item.join(fct, "id")
         .groupBy("facet")
@@ -275,24 +285,31 @@ def pairwise_cluster_prf(pred: DataFrame, gold: DataFrame, id_col: str = "doc_id
     g = gold.select(F.col(id_col).alias("id"), F.col("cluster_id").alias("gc"))
     j = p.join(g, "id")
 
-    def pairs_with_self(df, col):
-        return (
-            df.groupBy(col)
-            .count()
-            .agg(F.sum(F.col("count") * (F.col("count") + 1) / 2).alias("s"))
-            .collect()[0]["s"]
-        )
-
-    n_pred = float(pairs_with_self(j, "pc") or 0)
-    n_gold = float(pairs_with_self(j, "gc") or 0)
-    n_both = float(
-        j.groupBy("pc", "gc")
-        .count()
-        .agg(F.sum(F.col("count") * (F.col("count") + 1) / 2).alias("s"))
-        .collect()[0]["s"]
-        or 0
+    # all three pair totals in ONE aggregation job: GROUPING SETS
+    # ((pc), (gc), (pc, gc)) expands once and shuffles once, and the
+    # final roll-up keys on grouping_id (1 = pc-only, 2 = gc-only,
+    # 0 = both; verified bit layout for column order (pc, gc)) — no
+    # per-scalar stage barriers
+    pairs = F.col("c") * (F.col("c") + 1) / 2
+    gs = j.groupingSets([["pc"], ["gc"], ["pc", "gc"]], "pc", "gc").agg(
+        F.count("*").alias("c"), F.grouping_id().alias("gid")
     )
+    row = gs.agg(
+        F.sum(F.when(F.col("gid") == 1, pairs)).alias("n_pred"),
+        F.sum(F.when(F.col("gid") == 2, pairs)).alias("n_gold"),
+        F.sum(F.when(F.col("gid") == 0, pairs)).alias("n_both"),
+    ).collect()[0]
+    n_pred = float(row["n_pred"] or 0)
+    n_gold = float(row["n_gold"] or 0)
+    n_both = float(row["n_both"] or 0)
     precision = n_both / n_pred if n_pred else 1.0
     recall = n_both / n_gold if n_gold else 1.0
     f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
-    return {"precision": precision, "recall": recall, "f1": f1}
+    return {
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+        "n_pred": n_pred,
+        "n_gold": n_gold,
+        "n_both": n_both,
+    }

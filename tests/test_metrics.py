@@ -71,4 +71,52 @@ def test_pairwise_cluster_prf_identical_is_one(spark):
 
     pred = _clusters_df(spark, {"a": [1, 2], "b": [3]})
     got = pairwise_cluster_prf(pred, pred)
-    assert got == {"precision": 1.0, "recall": 1.0, "f1": 1.0}
+    assert {k: got[k] for k in ("precision", "recall", "f1")} == {
+        "precision": 1.0, "recall": 1.0, "f1": 1.0,
+    }
+
+
+def test_pairwise_cluster_prf_values_and_single_job(spark):
+    """One-agg form: identical values to a brute-force pair count, and
+    exactly one Spark job (the grouping-sets roll-up collect)."""
+    from itertools import combinations
+
+    from ent_res_feedback_spark.operators.metrics import pairwise_cluster_prf
+
+    pred_map = {"a": [1, 2, 3], "b": [4, 5], "c": [6]}
+    gold_map = {"x": [1, 2], "y": [3, 4, 5], "z": [6]}
+    pred = _clusters_df(spark, pred_map)
+    gold = _clusters_df(spark, gold_map)
+
+    def pair_set(m):
+        s = set()
+        for _, ids in m.items():
+            for i in ids:
+                s.add((i, i))  # self-pair (singleton correction)
+            for i, j in combinations(sorted(ids), 2):
+                s.add((i, j))
+        return s
+    ps, gs = pair_set(pred_map), pair_set(gold_map)
+    want_p = len(ps & gs) / len(ps)
+    want_r = len(ps & gs) / len(gs)
+
+    # force the input join lineage to materialize cheaply first so the
+    # job count below measures only the metric itself. AQE splits one
+    # action into one job per materialized stage, so turn it off to make
+    # "one action = one job" measurable.
+    pred.count(), gold.count()
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        tracker = spark.sparkContext.statusTracker()
+        before = len(tracker.getJobIdsForGroup(None) or [])
+        got = pairwise_cluster_prf(pred, gold)
+        after = len(tracker.getJobIdsForGroup(None) or [])
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+
+    assert got["precision"] == pytest.approx(want_p)
+    assert got["recall"] == pytest.approx(want_r)
+    f1 = 2 * want_p * want_r / (want_p + want_r)
+    assert got["f1"] == pytest.approx(f1)
+    assert after - before == 1, f"expected 1 job, saw {after - before}"

@@ -91,12 +91,36 @@ def join_seed_constraints(pairs: DataFrame, seeds: DataFrame | None) -> DataFram
     return out.fillna({"seed_require": False, "seed_disallow": False})
 
 
+#: above this many require-edges the driver union-find hands off to the
+#: distributed CC (seed tables are human-labeled feedback, typically
+#: thousands of rows; the bound makes the contract explicit rather than
+#: trusting it)
+_REQUIRE_GROUPS_DRIVER_MAX = 1_000_000
+
+
 def _require_groups(req_edges: DataFrame) -> DataFrame | None:
-    """Transitive require-groups via driver-side union-find (seed tables
-    are tiny); returns (doc_id, grp) or None when empty."""
-    rows = req_edges.select("doc_id_1", "doc_id_2").collect()
-    if not rows:
+    """Transitive require-groups as (doc_id, grp), or None when empty.
+
+    Scale contract: require-seeds are bounded by human feedback volume
+    (the reference holds them in one dict, data.py:386-404), so the
+    default path is a driver-side union-find over a collect(). If the
+    table ever exceeds ``_REQUIRE_GROUPS_DRIVER_MAX`` edges the function
+    falls back to the distributed large-star/small-star CC instead of
+    trusting the assumption.
+    """
+    n = req_edges.count()
+    if n == 0:
         return None
+    if n > _REQUIRE_GROUPS_DRIVER_MAX:
+        from ent_res_feedback_spark.operators.cc import connected_components
+
+        edges = req_edges.select(
+            F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst")
+        )
+        return connected_components(edges).select(
+            F.col("id").alias("doc_id"), F.col("component").alias("grp")
+        )
+    rows = req_edges.select("doc_id_1", "doc_id_2").collect()
     from ent_res_feedback_spark.oracle import UnionFind
 
     uf = UnionFind()

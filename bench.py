@@ -37,6 +37,15 @@ HEADLINE = [
     "tpch_q3",
 ]
 
+# round-3 additions, timed separately so the headline total stays
+# comparable across rounds ("value" covers HEADLINE only)
+EXTRA = [
+    "er_facets",         # facet derivation atop the full CC stack
+    "vote_scores",       # N-way voting over the pair features
+    "b3_per_item",       # per-item B3 vs the block partition
+    "min_pair_edit",     # per-block greedy edit stats
+]
+
 
 def run_headline(sf_dir: str = SF_DIR, cpus: int = CPUS) -> dict:
     from ent_res_feedback_spark.session import get_spark
@@ -54,12 +63,21 @@ def run_headline(sf_dir: str = SF_DIR, cpus: int = CPUS) -> dict:
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
     total = round(sum(timings.values()), 3)
+    extra: dict[str, float] = {}
+    for name in EXTRA:
+        if name not in queries:
+            continue
+        t0 = time.time()
+        n = queries[name](spark, sf_dir).count()
+        extra[name] = round(time.time() - t0, 3)
+        print(f"# extra {name}: {n} rows in {extra[name]}s", file=sys.stderr)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     return {
         "metric": "headline_query_wall_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "extra_queries": extra,
         "sf": float(sf),
         "cpus": cpus,
     }

@@ -87,6 +87,8 @@ def run_feedback_loop(
     max_rounds: int = 5,
     pairs_per_round: int = 20,
     metric_fn=None,
+    refit_every: int | None = None,
+    min_refit_labels: int = 10,
 ) -> dict:
     """Bounded feedback loop (FB4).
 
@@ -102,6 +104,14 @@ def run_feedback_loop(
     and re-clustered (partition lineage); untouched blocks keep their
     previous assignments — the iteration cost is proportional to the
     feedback, not the corpus.
+
+    ``refit_every=k`` additionally REFITS the logistic weights every k-th
+    round on all labels gathered so far (FB1 re-weighting — the analog of
+    the reference re-solving its objective with the folded constraints,
+    ecc.py:645-668) once at least ``min_refit_labels`` labels exist.
+    A refit changes the model globally, so that round re-scores the whole
+    corpus instead of the touched blocks — the lineage bound deliberately
+    does not apply when the weights themselves moved.
     """
     cfg = config or ERConfig()
     spark = docs.sparkSession
@@ -133,6 +143,28 @@ def run_feedback_loop(
         seeds_df = spark.createDataFrame(
             state.seeds, "doc_id_1 string, doc_id_2 string, kind string"
         )
+
+        if (
+            refit_every
+            and rnd % refit_every == 0
+            and len(state.seeds) >= min_refit_labels
+        ):
+            cfg = _refit_weights(docs, cfg, state)
+            # weights moved globally: full re-score this round
+            raw = scored_pair_distances(docs, cfg, seeds=seeds_df)
+            scored = raw.localCheckpoint()
+            release_persisted(raw)
+            state.touched_blocks.clear()  # lineage restarts from the refit
+            clusters = _cluster_from(scored, docs, cfg)
+            m = metric_fn(clusters) if metric_fn else None
+            state.rounds = rnd
+            state.history.append(
+                {"round": rnd, "metric": m, "n_seeds": len(state.seeds),
+                 "refit": True}
+            )
+            if m is not None and m >= 1.0:
+                break
+            continue
 
         # lineage-bounded recompute: re-score only touched blocks. The
         # touched set is a broadcast anti-join frame, not an isin()
@@ -188,3 +220,43 @@ def _cluster_from(scored: DataFrame, docs: DataFrame, cfg: ERConfig) -> DataFram
     return components_with_singletons(assignments, docs.select("doc_id"), "doc_id").withColumnRenamed(
         "component", "cluster_id"
     )
+
+
+def _labeled_pair_features(docs: DataFrame, cfg: ERConfig, labeled: DataFrame) -> DataFrame:
+    """(doc_id_1, doc_id_2, label) -> label + FEATURE_COLS via a double
+    mention join — the refit training frame."""
+    from ent_res_feedback_spark.operators.features import mention_pair_features
+    from ent_res_feedback_spark.operators.mentions import extract_mentions
+    from ent_res_feedback_spark.pipeline import MENTION_COLS
+
+    m = extract_mentions(docs, ascii_fast_path=cfg.ascii_fast_path).select(
+        *MENTION_COLS
+    )
+    m1 = m.select([F.col(c).alias(c + "_1") for c in m.columns])
+    m2 = m.select([F.col(c).alias(c + "_2") for c in m.columns])
+    j = labeled.join(m1, "doc_id_1").join(m2, "doc_id_2")
+    return mention_pair_features(j)
+
+
+def _refit_weights(docs: DataFrame, cfg: ERConfig, state: FeedbackState) -> ERConfig:
+    """FB1 — fit fresh logistic weights on every label gathered so far
+    (driver-side numpy fit; label volume is human-bounded)."""
+    from dataclasses import replace
+
+    from ent_res_feedback_spark.operators.features import FEATURE_COLS
+    from ent_res_feedback_spark.operators.scoring import (
+        collect_training_sample,
+        fit_logistic,
+    )
+
+    spark = docs.sparkSession
+    labeled = spark.createDataFrame(
+        [(a, b, 1 if k == "require" else 0) for a, b, k in state.seeds],
+        "doc_id_1 string, doc_id_2 string, label int",
+    )
+    feats = _labeled_pair_features(docs, cfg, labeled)
+    X, y = collect_training_sample(feats, "label", FEATURE_COLS)
+    if len(set(y.tolist())) < 2:
+        return cfg  # one-class labels: keep the current weights
+    weights = fit_logistic(X, y, FEATURE_COLS)
+    return replace(cfg, weights=weights)

@@ -35,6 +35,8 @@ def main() -> int:
     p.add_argument("--pairs-per-round", type=int, default=20)
     p.add_argument("--tau", type=float, default=0.5)
     p.add_argument("--salt-threshold", type=int, default=2000)
+    p.add_argument("--refit-every", type=int, default=None,
+                   help="refit logistic weights every k rounds (FB1)")
     args = p.parse_args()
 
     from ent_res_feedback_spark.operators.feedback import run_feedback_loop
@@ -73,6 +75,7 @@ def main() -> int:
         max_rounds=args.rounds,
         pairs_per_round=args.pairs_per_round,
         metric_fn=metric_fn,
+        refit_every=args.refit_every,
     )
     res["clusters"].select("doc_id", "cluster_id").write.mode(
         "overwrite"

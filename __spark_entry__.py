@@ -387,7 +387,10 @@ def _feature_cols() -> list:
     ]
 
 
-def _score_col() -> F.Column:
+def _score_col_raw() -> F.Column:
+    """The UNROUNDED logistic score — consumers that re-round (e.g.
+    vote_scores' floor-trick r6) must start from the raw sigmoid so the
+    rounding pipeline is identical to the DuckDB oracle's."""
     w = _er_weights()
     z = (
         F.lit(w["bias"])
@@ -395,7 +398,11 @@ def _score_col() -> F.Column:
         + F.lit(w["lev_sim"]) * F.col("lev_sim")
         + F.lit(w["tok_jaccard"]) * F.col("tok_jaccard")
     )
-    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score")
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def _score_col() -> F.Column:
+    return F.round(_score_col_raw(), 6).alias("score")
 
 
 def _er_pair_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -638,10 +645,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_min_pair_edit(spark, sf_dir):
-        """A8 — greedy per-block minimum cluster-edit stats for the ER
-        pipeline's own clusters vs a deterministic 'gold' built from the
-        block key (every same-block pair is gold-positive): exercises the
-        applyInPandas greedy kernel end-to-end on driver data."""
+        """A8 — greedy per-block minimum cluster-edit stats for
+        single-cluster-per-block predictions vs deterministic md5-parity
+        gold labels (mixed right/wrong pairs, portable to DuckDB):
+        exercises the applyInPandas greedy kernel end-to-end on driver
+        data."""
         from ent_res_feedback_spark.operators.min_edit import min_pair_edit
         from ent_res_feedback_spark.operators.pairs import within_block_pairs
 
@@ -665,9 +673,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.col("block_key").alias("cluster_id")
         )
         out = min_pair_edit(assignments, labeled)
+        # floor-trick round: identical IEEE ops to the oracle's
+        # floor(x*1e6+0.5)/1e6 (F.round is BigDecimal HALF_UP, DuckDB
+        # round() differs on .5 boundaries)
         return out.select(
             "block_key",
-            F.round("min_edit_score", 6).alias("min_edit_score"),
+            (F.floor(F.col("min_edit_score") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+             ).alias("min_edit_score"),
             F.col("min_edit_count").cast("bigint").alias("min_edit_count"),
             F.col("n_mistaken_ids").cast("bigint").alias("n_mistaken_ids"),
         )
@@ -955,7 +967,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # is bit-identical IEEE arithmetic in both engines
             return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
 
-        s_main = r6(_score_col())
+        # floor-trick on the RAW sigmoid (not on top of _score_col's
+        # F.round) — identical rounding pipeline to the DuckDB oracle,
+        # so no .5-boundary double-round divergence is possible
+        s_main = r6(_score_col_raw())
         s_jw = r6(F.lit(1.0) / (F.lit(1.0) + F.exp(-(4.0 * F.col("jw") - 2.0))))
         s_tok = r6(
             F.lit(1.0) / (F.lit(1.0) + F.exp(-(4.0 * F.col("tok_jaccard") - 2.0)))
@@ -1031,8 +1046,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "precision double, recall double, f1 double",
         )
 
+    def q_er_splits(spark, sf_dir):
+        """§3.1 step-5 lifecycle — KMeans-stratified block split
+        (reference split_blocks_helper, s2and/data.py:908-953): blocks
+        stratified by size via an exact-integer 1-D Lloyd (k=4, 10
+        iterations, rank-spaced init), then split 0.8/0.1/0.1 within
+        each stratum by seeded md5 rank. Every step is plain IEEE/int
+        arithmetic, so DuckDB replays it hash-exactly."""
+        from ent_res_feedback_spark.operators.splits import split_blocks
+
+        docs = _docs_with_block(spark, sf_dir)
+        mentions = docs.where(F.length("block_key") > 0).select(
+            "doc_id", "block_key"
+        )
+        return split_blocks(mentions, k=4, seed=1111, ratios=(0.8, 0.1, 0.1))
+
     return {
         "er_block_key": q_block_key,
+        "er_splits": q_er_splits,
         "er_block_census": q_block_census,
         "er_pairs": q_pairs,
         "er_pair_features": q_pair_features,
@@ -1065,6 +1096,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_assign": q_incremental_assign,
         "media_features": q_media_features,
     }
+
+
+def _er_splits_sql(k: int = 4, iters: int = 10, seed: int = 1111) -> str:
+    """DuckDB replay of q_er_splits (operators/splits.split_blocks):
+    the exact-integer 1-D Lloyd is UNROLLED into ``iters`` chained CTEs
+    (centroids carried as lists of integer (S, W) rationals — the only
+    float op is abs(size - S/W), one IEEE division + subtraction that
+    both engines compute bit-identically), then the same per-stratum
+    md5-rank split with floor(n*ratio + 0.5) thresholds."""
+    block = _block_sql("text")
+    km1 = max(k - 1, 1)
+    parts = [
+        f"""
+WITH mentions AS (
+  SELECT doc_id, {block} AS block_key FROM documents
+  WHERE length({block}) > 0
+),
+bs AS MATERIALIZED (
+  SELECT block_key, count(*)::BIGINT AS n FROM mentions GROUP BY 1),
+ws AS MATERIALIZED (SELECT n AS s, count(*)::BIGINT AS w FROM bs GROUP BY 1),
+init AS (SELECT list(s ORDER BY s) AS ss FROM ws),
+cent0 AS MATERIALIZED (
+  SELECT list_transform(generate_series(1, {k}), jj ->
+    struct_pack(
+      S := ss[1 + CAST(floor((jj-1)::DOUBLE * (len(ss)-1) / {km1}) AS BIGINT)],
+      W := 1::BIGINT)) AS c
+  FROM init
+)"""
+    ]
+    assign = (
+        "list_sort(list_transform(generate_series(1, {k}), jj -> "
+        "struct_pack(d := abs({s}::DOUBLE - c[jj].S::DOUBLE / c[jj].W::DOUBLE), "
+        "j := jj)))[1].j"
+    )
+    for i in range(1, iters + 1):
+        p = i - 1
+        a = assign.format(k=k, s="s")
+        parts.append(
+            f""",
+a{i} AS (SELECT s, w, {a} AS j FROM ws, cent{p}),
+g{i} AS (
+  SELECT list(struct_pack(j := j, S := S, W := W) ORDER BY j) AS gs
+  FROM (SELECT j, sum(w * s)::BIGINT AS S, sum(w)::BIGINT AS W
+        FROM a{i} GROUP BY j)
+),
+cent{i} AS MATERIALIZED (
+  SELECT list_transform(generate_series(1, {k}), jj ->
+    CASE WHEN len(list_filter(gs, g -> g.j = jj)) > 0
+         THEN struct_pack(S := list_filter(gs, g -> g.j = jj)[1].S,
+                          W := list_filter(gs, g -> g.j = jj)[1].W)
+         ELSE struct_pack(S := c[jj].S, W := c[jj].W) END) AS c
+  FROM g{i}, cent{p}
+)"""
+        )
+    final_assign = assign.format(k=k, s="bs.n")
+    parts.append(
+        f""",
+strata AS (
+  SELECT bs.block_key, bs.n, {final_assign} - 1 AS stratum
+  FROM bs, cent{iters}
+),
+ranked AS (
+  SELECT block_key, n, stratum,
+         row_number() OVER (PARTITION BY stratum
+                            ORDER BY md5('{seed}|' || block_key), block_key)
+           AS rn,
+         count(*) OVER (PARTITION BY stratum) AS cnt
+  FROM strata
+)
+SELECT block_key,
+       n::BIGINT AS block_size,
+       stratum::BIGINT AS stratum,
+       CASE WHEN rn <= floor(cnt * 0.8 + 0.5) THEN 'train'
+            WHEN rn <= floor(cnt * 0.9 + 0.5) THEN 'val'
+            ELSE 'test' END AS split
+FROM ranked
+"""
+    )
+    return "".join(parts)
 
 
 def _auroc_sql() -> str:
@@ -1381,9 +1491,10 @@ terminal AS (
 ),
 blocks AS (SELECT DISTINCT block_key FROM bp)
 SELECT b.block_key,
-       round(CASE WHEN coalesce(t.n, 0) > 1
-                  THEN t.steps::DOUBLE / (t.n - 1)
-                  ELSE coalesce(t.steps, 0)::DOUBLE END, 6) AS min_edit_score,
+       floor((CASE WHEN coalesce(t.n, 0) > 1
+                   THEN t.steps::DOUBLE / (t.n - 1)
+                   ELSE coalesce(t.steps, 0)::DOUBLE END)*1e6 + 0.5)/1e6
+         AS min_edit_score,
        coalesce(t.steps, 0)::BIGINT AS min_edit_count,
        coalesce(t.n, 0)::BIGINT AS n_mistaken_ids
 FROM blocks b LEFT JOIN terminal t USING (block_key)
@@ -1662,6 +1773,7 @@ FROM d a JOIN d b USING (block_key) WHERE a.doc_id < b.doc_id
 SELECT cluster_id, count(*)::BIGINT AS n_docs
 FROM ({_CLUSTERS_SQL_BODY}) GROUP BY cluster_id
 """,
+        "er_splits": _er_splits_sql(),
         "er_facets": _er_facets_sql(),
         "vote_scores": _vote_sql(),
         "b3_per_item": _b3_per_item_sql(),

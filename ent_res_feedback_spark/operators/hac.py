@@ -20,9 +20,86 @@ from pyspark.sql import DataFrame
 
 def hac_average_linkage(dist: np.ndarray, eps: float) -> np.ndarray:
     """Average-linkage agglomerative clustering on a square distance
-    matrix; merge while the minimum average inter-cluster distance is
-    <= eps (scipy ``fcluster(t=eps, criterion='distance')`` semantics on
-    an average-linkage tree). Returns integer labels."""
+    matrix; flat cut at ``eps`` (scipy ``fcluster(t=eps,
+    criterion='distance')`` semantics on an average-linkage tree).
+    Returns integer labels, ordered by each cluster's minimum member
+    index (the same labeling the naive greedy produces).
+
+    O(n^2) nearest-neighbor-chain (Muellner, arXiv:1109.2378): average
+    linkage is REDUCIBLE, so reciprocal nearest neighbors can be merged
+    out of global-min order and still yield the unique monotone
+    dendrogram; the flat cut is then the union of every merge whose
+    height is <= eps. Replaces the O(n^3) global-argmin loop (kept as
+    ``hac_average_linkage_naive`` for the cross-check tests)."""
+    n = dist.shape[0]
+    if n == 0:
+        return np.array([], dtype=int)
+    if n == 1:
+        return np.zeros(1, dtype=int)
+    d = dist.astype(np.float64).copy()
+    np.fill_diagonal(d, np.inf)
+    active = np.ones(n, dtype=bool)
+    size = np.ones(n, dtype=np.int64)
+    merges: list[tuple[int, int, float]] = []  # (rep_keep, rep_drop, height)
+    chain: list[int] = []
+    remaining = n
+    while remaining > 1:
+        if not chain:
+            chain.append(int(np.argmax(active)))  # first active index
+        while True:
+            top = chain[-1]
+            row = np.where(active, d[top], np.inf)
+            row[top] = np.inf
+            nn = int(np.argmin(row))
+            h = row[nn]
+            # tie-break toward the chain predecessor: guarantees the
+            # reciprocal-NN pair is detected under exact ties
+            if len(chain) >= 2 and d[top, chain[-2]] == h:
+                nn = chain[-2]
+            if len(chain) >= 2 and nn == chain[-2]:
+                a, b = (top, nn) if top < nn else (nn, top)
+                # Lance-Williams average update on the surviving rep a:
+                # d(a+b, x) = (na*d(a,x) + nb*d(b,x)) / (na+nb)
+                na, nb = size[a], size[b]
+                upd = (na * d[a] + nb * d[b]) / (na + nb)
+                d[a] = upd
+                d[:, a] = upd
+                d[a, a] = np.inf
+                d[b, :] = np.inf
+                d[:, b] = np.inf
+                active[b] = False
+                size[a] = na + nb
+                merges.append((a, b, float(h)))
+                chain.pop()
+                chain.pop()
+                remaining -= 1
+                break
+            chain.append(nn)
+    # flat cut: monotone dendrogram => merges with height <= eps form
+    # maximal subtrees; union exactly those
+    parent = np.arange(n)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, h in merges:
+        if h <= eps:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    roots = np.fromiter((find(i) for i in range(n)), dtype=int, count=n)
+    labels = np.empty(n, dtype=int)
+    for lab, root in enumerate(np.unique(roots)):  # sorted = min-member order
+        labels[roots == root] = lab
+    return labels
+
+
+def hac_average_linkage_naive(dist: np.ndarray, eps: float) -> np.ndarray:
+    """The O(n^3) global-argmin reference implementation — retained as
+    the referee for the nn-chain equivalence tests."""
     n = dist.shape[0]
     if n == 0:
         return np.array([], dtype=int)

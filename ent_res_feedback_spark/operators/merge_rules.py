@@ -222,6 +222,7 @@ def cluster_pair_rules(
     profiles_2: DataFrame,
     alias_keys: list[str] | None = None,
     candidate_key: str | None = "last_first_initials",
+    include_keyless: bool = False,
 ) -> DataFrame:
     """Join two profile frames into (cluster_id_1, cluster_id_2) pairs and
     evaluate EVERY merge rule as columns — the batch shape for candidate
@@ -234,19 +235,31 @@ def cluster_pair_rules(
     lost). This keeps the default path shuffle-joinable at any scale.
     Pass ``candidate_key=None`` to opt into the quadratic cross product
     explicitly (bounded inputs only — e.g. the per-block parity tests).
-    Note: with a candidate key, profiles whose key set is empty pair with
-    nothing (they have no name evidence to merge on).
+    Note: with a candidate key, profiles whose key set is empty or NULL
+    pair with nothing by default (they have no name evidence to merge
+    on). ``include_keyless=True`` routes those profiles through a shared
+    sentinel bucket so they still pair among themselves — opt-in because
+    the keyless bucket is quadratic in the number of keyless clusters.
     """
     a = profiles_1.select([F.col(c).alias(c + "_1") for c in profiles_1.columns])
     b = profiles_2.select([F.col(c).alias(c + "_2") for c in profiles_2.columns])
     if candidate_key is None:
         pairs = a.crossJoin(b)
     else:
+        def _keys(col_name: str):
+            c = F.col(col_name)
+            if include_keyless:
+                return F.when(
+                    c.isNull() | (F.size(c) == 0),
+                    F.array(F.lit("\x00keyless")),
+                ).otherwise(c)
+            return c
+
         ka = a.select(
-            "cluster_id_1", F.explode(F.col(candidate_key + "_1")).alias("_ck")
+            "cluster_id_1", F.explode(_keys(candidate_key + "_1")).alias("_ck")
         )
         kb = b.select(
-            "cluster_id_2", F.explode(F.col(candidate_key + "_2")).alias("_ck")
+            "cluster_id_2", F.explode(_keys(candidate_key + "_2")).alias("_ck")
         )
         cand = ka.join(kb, "_ck").select("cluster_id_1", "cluster_id_2").distinct()
         pairs = cand.join(a, "cluster_id_1").join(b, "cluster_id_2")

@@ -276,6 +276,58 @@ def ivf_centroids(
     return [[float(x) for x in r[vec_col]] for r in rows]
 
 
+def ivf_centroids_kmeans(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Trained coarse-quantizer codebook: distributed Lloyd iterations
+    seeded from the deterministic md5 pick (``ivf_centroids``), so the
+    whole training is seed-stable with no RNG.
+
+    Each iteration is ONE aggregation job with the same shape the probe
+    join already has: assign every vector to its nearest centroid by
+    cosine (the same `_centroid_ranking` JVM expression ``ivf_topk``
+    uses for cell assignment — trainer and index can never disagree),
+    then per-cell component sums via ``groupBy(_cell)`` over fixed-width
+    sum expressions (map-side combinable, k groups in the shuffle, k*dim
+    scalars to the driver). Empty cells keep their previous centroid.
+    At 100 TB this is iters scans with a k-row shuffle each — scale-safe.
+    """
+    cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    if not cents:
+        return cents
+    dim = len(cents[0])
+    for _ in range(iters):
+        assigned = embeddings.select(
+            F.col(vec_col),
+            _centroid_ranking(F.col(vec_col), cents)[0].alias("_cell"),
+        )
+        agg = (
+            assigned.groupBy("_cell")
+            .agg(
+                F.count("*").alias("_n"),
+                *[
+                    F.sum(F.col(vec_col)[i]).alias(f"_s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()  # bounded: n_centroids rows of dim+1 scalars
+        )
+        new = list(cents)
+        for r in agg:
+            if r["_n"]:
+                new[r["_cell"]] = [
+                    float(r[f"_s{i}"]) / r["_n"] for i in range(dim)
+                ]
+        if new == cents:
+            break  # Lloyd fixpoint
+        cents = new
+    return cents
+
+
 def _centroid_ranking(vec: Column, centroids: list[list[float]]) -> Column:
     """Array of centroid indices ordered by cosine desc (ties: index asc),
     as one JVM expression (struct sort, no UDF)."""

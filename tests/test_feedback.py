@@ -134,3 +134,74 @@ def test_refit_rounds_change_weights_and_stay_consistent(spark):
     hist = res["state"].history
     refit_rounds = [h for h in hist if h.get("refit")]
     assert refit_rounds, f"no refit round recorded: {hist}"
+
+
+def test_uncertainty_band_anchors_on_tau_rank(spark):
+    """Round-4 fix: with a score distribution skewed away from 0.5 the
+    band must still contain only ~2q of the mass AROUND TAU, not a
+    median-anchored band clamped out to tau (which could cover most of
+    the distribution)."""
+    from ent_res_feedback_spark.operators.feedback import uncertainty_band
+
+    # 1000 scores: 10% below tau=0.5 (uniform 0.3-0.5), 90% above
+    # (uniform 0.8-1.0) — strongly skewed away from the threshold
+    rows = [(0.3 + 0.2 * i / 100,) for i in range(100)] + [
+        (0.8 + 0.2 * i / 900,) for i in range(900)
+    ]
+    scored = spark.createDataFrame(rows, "score double")
+    q = 0.1
+    lo, hi = uncertainty_band(scored, tau=0.5, band_quantile=q)
+    assert lo <= 0.5 <= hi
+    in_band = scored.where(F.col("score").between(lo, hi)).count()
+    frac = in_band / 1000
+    # ~q mass on each side of tau's rank; allow approxQuantile's 1%
+    # relative error plus discretization slack
+    assert frac <= 2 * q + 0.08, (lo, hi, frac)
+
+
+def test_batch_labeler_matches_scalar(spark):
+    """Round-4: the batch labeler interface (pairs_df -> labels_df) must
+    produce identical seeds and history to the scalar form."""
+    documents, gold, _ = generate_corpus(CorpusConfig(n_entities=12, seed=7))
+    docs = corpus_to_spark(spark, documents)
+    gold_map = dict(gold)
+
+    def scalar_labeler(d1, d2):
+        return int(gold_map[d1] == gold_map[d2])
+
+    def batch_labeler(pairs_df):
+        sp = pairs_df.sparkSession
+        gold_df = sp.createDataFrame(
+            list(gold_map.items()), "doc_id string, cluster string"
+        )
+        return (
+            pairs_df.join(
+                gold_df.select(
+                    F.col("doc_id").alias("doc_id_1"),
+                    F.col("cluster").alias("c1"),
+                ),
+                "doc_id_1",
+            )
+            .join(
+                gold_df.select(
+                    F.col("doc_id").alias("doc_id_2"),
+                    F.col("cluster").alias("c2"),
+                ),
+                "doc_id_2",
+            )
+            .select(
+                "doc_id_1",
+                "doc_id_2",
+                (F.col("c1") == F.col("c2")).cast("int").alias("label"),
+            )
+        )
+
+    cfg = ERConfig()
+    res_scalar = run_feedback_loop(
+        docs, scalar_labeler, cfg, max_rounds=4, pairs_per_round=3
+    )
+    res_batch = run_feedback_loop(
+        docs, batch_labeler, cfg, max_rounds=4, pairs_per_round=3
+    )
+    assert res_scalar["state"].seeds == res_batch["state"].seeds
+    assert res_scalar["state"].history == res_batch["state"].history

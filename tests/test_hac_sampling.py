@@ -149,3 +149,46 @@ def test_cmacro_and_facets(spark):
     fe = {r["facet"]: r for r in facet_eval(pred, gold, facets, "grp").collect()}
     assert fe["blk1"]["f1"] == pytest.approx(1.0)
     assert fe["blk2"]["f1"] < 1.0
+
+
+def test_nn_chain_equals_naive_on_random_matrices():
+    """Round-4: the O(n^2) nn-chain must produce the same flat partition
+    as the O(n^3) global-argmin referee (average linkage is reducible ->
+    unique monotone dendrogram on tie-free random matrices)."""
+    import numpy as np
+
+    from ent_res_feedback_spark.operators.hac import (
+        hac_average_linkage,
+        hac_average_linkage_naive,
+    )
+
+    rng = np.random.default_rng(4242)
+    for n in (2, 3, 7, 20, 45):
+        for eps in (0.1, 0.3, 0.5, 0.8):
+            a = rng.random((n, n))
+            d = (a + a.T) / 2
+            np.fill_diagonal(d, 0.0)
+            got = hac_average_linkage(d, eps)
+            want = hac_average_linkage_naive(d, eps)
+            assert got.tolist() == want.tolist(), (n, eps)
+
+
+def test_nn_chain_500_node_block_under_2s():
+    """Round-4 acceptance: a 500-node block must cluster in < 2s (the
+    naive loop took tens of seconds at this size)."""
+    import time
+
+    import numpy as np
+
+    from ent_res_feedback_spark.operators.hac import hac_average_linkage
+
+    rng = np.random.default_rng(7)
+    n = 500
+    a = rng.random((n, n))
+    d = (a + a.T) / 2
+    np.fill_diagonal(d, 0.0)
+    t0 = time.time()
+    labels = hac_average_linkage(d, eps=0.4)
+    wall = time.time() - t0
+    assert wall < 2.0, f"500-node HAC took {wall:.2f}s"
+    assert len(labels) == n

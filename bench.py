@@ -44,6 +44,7 @@ EXTRA = [
     "vote_scores",       # N-way voting over the pair features
     "b3_per_item",       # per-item B3 vs the block partition
     "min_pair_edit",     # per-block greedy edit stats
+    "er_splits",         # round-4: KMeans-stratified block split
 ]
 
 

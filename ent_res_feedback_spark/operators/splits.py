@@ -173,11 +173,29 @@ def split_signatures(
     id_col: str = "doc_id",
     seed: int = 1111,
     ratios: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    exact: bool = True,
 ) -> DataFrame:
     """Reference 'signatures' mode (data.py:992-1008): seeded uniform
     split of ids -> (id, split). md5 rank replaces sklearn's shuffled
-    index: same semantics (uniform, seed-stable), engine-portable."""
+    index: same semantics (uniform, seed-stable), engine-portable.
+
+    ``exact=True`` gives exact counts via a global rank (single-reducer
+    sort — fine to ~1e8 rows). ``exact=False`` is the 100 TB path:
+    per-row md5-threshold draw, no shuffle at all, proportions exact to
+    ~1/sqrt(n)."""
     order_key = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col)))
+    if not exact:
+        tr, va, _ = ratios
+        u = F.conv(F.substring(order_key, 1, 13), 16, 10).cast("double") / F.lit(
+            float(16**13)
+        )
+        return mentions.select(
+            F.col(id_col),
+            F.when(u < F.lit(tr), F.lit("train"))
+            .when(u < F.lit(tr + va), F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
     w_rank = Window.orderBy(order_key, F.col(id_col))
     w_all = Window.partitionBy()
     ranked = mentions.select(
@@ -195,12 +213,30 @@ def split_time(
     id_col: str = "doc_id",
     year_col: str = "year",
     ratios: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    exact: bool = True,
 ) -> DataFrame:
     """Reference 'time' mode (data.py:1010-1030): sort by year (missing
     -> 0), contiguous truncation split: train = first int(n*train),
     val = next int(n*val), test = the rest — the reference's exact
-    arithmetic."""
+    arithmetic.
+
+    ``exact=False`` is the 100 TB path: boundary YEARS come from
+    approxQuantile (no global sort/rank); rows split by comparing their
+    year to the two boundaries. Contiguity in time is preserved exactly;
+    the counts are approximate at the boundary years."""
     tr, va, _ = ratios
+    yr = F.coalesce(F.col(year_col), F.lit(0))
+    if not exact:
+        y_tr, y_va = mentions.select(
+            yr.cast("double").alias("_y")
+        ).approxQuantile("_y", [tr, tr + va], 0.001)
+        return mentions.select(
+            F.col(id_col),
+            F.when(yr <= F.lit(y_tr), F.lit("train"))
+            .when(yr <= F.lit(y_va), F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
     w_rank = Window.orderBy(
         F.coalesce(F.col(year_col), F.lit(0)), F.col(id_col)
     )

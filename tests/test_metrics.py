@@ -107,16 +107,21 @@ def test_pairwise_cluster_prf_values_and_single_job(spark):
     pred.count(), gold.count()
     aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc = spark.sparkContext
     try:
-        tracker = spark.sparkContext.statusTracker()
-        before = len(tracker.getJobIdsForGroup(None) or [])
+        # count jobs in a DEDICATED job group: counting the default
+        # group makes the assertion racy against stray jobs from other
+        # tests sharing the session (observed order-dependent flake)
+        sc.setLocalProperty("spark.jobGroup.id", "prf-single-job-test")
         got = pairwise_cluster_prf(pred, gold)
-        after = len(tracker.getJobIdsForGroup(None) or [])
     finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    tracker = sc.statusTracker()
+    n_jobs = len(tracker.getJobIdsForGroup("prf-single-job-test") or [])
 
     assert got["precision"] == pytest.approx(want_p)
     assert got["recall"] == pytest.approx(want_r)
     f1 = 2 * want_p * want_r / (want_p + want_r)
     assert got["f1"] == pytest.approx(f1)
-    assert after - before == 1, f"expected 1 job, saw {after - before}"
+    assert n_jobs == 1, f"expected 1 job, saw {n_jobs}"

@@ -133,3 +133,31 @@ def test_split_time_is_contiguous_by_year(spark):
     )
     out2 = {r["doc_id"]: r["split"] for r in split_time(m2).collect()}
     assert out2["a"] == "train"
+
+
+def test_split_signatures_hash_threshold(spark):
+    m = _mentions(spark, [1] * 500)
+    out = split_signatures(m, exact=False)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan
+    rows = out.collect()
+    import collections
+
+    c = collections.Counter(r["split"] for r in rows)
+    assert 0.7 < c["train"] / 500 < 0.9
+    again = sorted(map(tuple, split_signatures(m, exact=False).collect()))
+    assert sorted(map(tuple, rows)) == again
+
+
+def test_split_time_approx_boundaries(spark):
+    rows = [(f"d{i}", 1990 + (i % 40)) for i in range(400)]
+    m = spark.createDataFrame(rows, "doc_id string, year int")
+    out = {r["doc_id"]: r["split"] for r in split_time(m, exact=False).collect()}
+    years = {d: y for d, y in rows}
+    max_train = max(years[d] for d, s in out.items() if s == "train")
+    min_test = min(years[d] for d, s in out.items() if s == "test")
+    assert max_train < min_test  # contiguity in time holds exactly
+    import collections
+
+    c = collections.Counter(out.values())
+    assert 0.65 < c["train"] / 400 < 0.95

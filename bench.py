@@ -268,11 +268,40 @@ print("RESULT " + json.dumps({
 """
 
 
+def _median(xs) -> float:
+    """True median: averages the two middle values for even counts
+    (the upper-middle element alone biases an even-length 'median')."""
+    s = sorted(xs)
+    n = len(s)
+    if n % 2:
+        return s[n // 2]
+    return round((s[n // 2 - 1] + s[n // 2]) / 2.0, 4)
+
+
 def _read_until(proc, prefix: str, deadline_s: float = 7200) -> str:
     """Read the child's stdout line-by-line until a line starts with
-    ``prefix``; echo other lines to stderr for visibility."""
+    ``prefix``; echo other lines to stderr for visibility.
+
+    The deadline is enforced with select() on the pipe fd, so a child
+    JVM that hangs WITHOUT emitting any output still trips the timeout
+    (previously the check only ran after readline() returned a line).
+    """
+    import select
+
     t0 = time.time()
+    fd = proc.stdout.fileno()
     while True:
+        remaining = deadline_s - (time.time() - t0)
+        if remaining <= 0:
+            raise RuntimeError(f"timeout waiting for {prefix!r}")
+        ready, _, _ = select.select([fd], [], [], min(remaining, 30.0))
+        if not ready:
+            if proc.poll() is not None:
+                raise RuntimeError(
+                    f"scaling child exited early (waiting for {prefix!r}, "
+                    f"rc={proc.returncode})"
+                )
+            continue
         line = proc.stdout.readline()
         if not line:
             raise RuntimeError(
@@ -283,8 +312,6 @@ def _read_until(proc, prefix: str, deadline_s: float = 7200) -> str:
             return line
         if line:
             print(f"# child: {line[:200]}", file=sys.stderr)
-        if time.time() - t0 > deadline_s:
-            raise RuntimeError(f"timeout waiting for {prefix!r}")
 
 
 def run_scaling(
@@ -320,30 +347,58 @@ def run_scaling(
     ncpu = os.cpu_count() or 0
     have_taskset = bool(shutil_which("taskset")) and ncpu >= lo + hi
     procs = {}
+    restarts = {lo: 0, hi: 0}
     # disjoint pinning: lo on [0, lo), hi on [lo, lo+hi)
     pin = {lo: f"0-{lo - 1}", hi: f"{lo}-{lo + hi - 1}"}
+
+    def _start_arm(cores: int):
+        script = _SCALING_CHILD.replace("@@REPO@@", repo)
+        cmd = [sys.executable, "-c", script, str(cores), str(n_entities)]
+        # IDENTICAL shuffle partitioning for both arms: 64 parts =
+        # 8 waves on the 8-core arm caps last-wave straggler loss
+        # at 12.5% (0 = sentinel for "unset").
+        cmd.append(str(shuffle_partitions or 0))
+        # CPU-pin each arm: an N-core run on an M-core box would
+        # otherwise spill its Python UDF workers onto idle cores,
+        # overstating N-core throughput.
+        if have_taskset:
+            cmd = ["taskset", "-c", pin[cores]] + cmd
+        errlog = open(f"/tmp/er-scaling-child-{cores}.log", "a")
+        procs[cores] = subprocess.Popen(
+            cmd,
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            stderr=errlog,
+            text=True,
+            bufsize=1,
+        )
+
+    def _timed_run(cores: int) -> float:
+        """Issue one RUN; if the arm died (transient worker death), restart
+        it ONCE (re-warm, untimed) and retry, so a single flake doesn't
+        kill the whole interleaved session."""
+        try:
+            procs[cores].stdin.write("RUN\n")
+            procs[cores].stdin.flush()
+            line = _read_until(procs[cores], "WALL ")
+        except (RuntimeError, BrokenPipeError) as exc:
+            if restarts[cores] >= 1:
+                raise
+            restarts[cores] += 1
+            print(f"# arm cores={cores} died ({exc}); restarting once",
+                  file=sys.stderr)
+            if procs[cores].poll() is None:
+                procs[cores].kill()
+            _start_arm(cores)
+            _read_until(procs[cores], "READY")
+            procs[cores].stdin.write("RUN\n")
+            procs[cores].stdin.flush()
+            line = _read_until(procs[cores], "WALL ")
+        return json.loads(line[len("WALL "):])["wall_sec"]
+
     try:
         for cores in cores_pair:
-            script = _SCALING_CHILD.replace("@@REPO@@", repo)
-            cmd = [sys.executable, "-c", script, str(cores), str(n_entities)]
-            # IDENTICAL shuffle partitioning for both arms: 64 parts =
-            # 8 waves on the 8-core arm caps last-wave straggler loss
-            # at 12.5% (0 = sentinel for "unset").
-            cmd.append(str(shuffle_partitions or 0))
-            # CPU-pin each arm: an N-core run on an M-core box would
-            # otherwise spill its Python UDF workers onto idle cores,
-            # overstating N-core throughput.
-            if have_taskset:
-                cmd = ["taskset", "-c", pin[cores]] + cmd
-            errlog = open(f"/tmp/er-scaling-child-{cores}.log", "w")
-            procs[cores] = subprocess.Popen(
-                cmd,
-                stdin=subprocess.PIPE,
-                stdout=subprocess.PIPE,
-                stderr=errlog,
-                text=True,
-                bufsize=1,
-            )
+            _start_arm(cores)
         # warm-ups run concurrently (untimed; disjoint cores)
         for cores in cores_pair:
             _read_until(procs[cores], "READY")
@@ -352,10 +407,7 @@ def run_scaling(
         walls = {lo: [], hi: []}
         for i in range(pairs):
             for cores in cores_pair:  # strict alternation: lo then hi
-                procs[cores].stdin.write("RUN\n")
-                procs[cores].stdin.flush()
-                line = _read_until(procs[cores], "WALL ")
-                w = json.loads(line[len("WALL "):])["wall_sec"]
+                w = _timed_run(cores)
                 walls[cores].append(w)
                 print(f"# pair {i} cores={cores}: {w}s", file=sys.stderr)
 
@@ -392,9 +444,9 @@ def run_scaling(
         for a, b in zip(heavy_lo, heavy_hi)
         if a and b
     ]
-    med = sorted(paired_eff)[len(paired_eff) // 2]
-    med_lo = sorted(walls[lo])[len(walls[lo]) // 2]
-    med_hi = sorted(walls[hi])[len(walls[hi]) // 2]
+    med = _median(paired_eff)
+    med_lo = _median(walls[lo])
+    med_hi = _median(walls[hi])
     for cores in cores_pair:
         results[cores]["walls"] = [round(w, 3) for w in walls[cores]]
         results[cores]["wall_sec"] = med_lo if cores == lo else med_hi

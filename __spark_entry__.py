@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 TAU = 0.62  # ER demo threshold over the word-soup documents table
+# candidate thresholds for the CL4 eps/tau sweep query (er_eps_sweep)
+SWEEP_TAUS = [0.50, 0.56, 0.62, 0.68, 0.74]
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (DuckDB side)
@@ -1061,9 +1063,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return split_blocks(mentions, k=4, seed=1111, ratios=(0.8, 0.1, 0.1))
 
+    def q_er_eps_sweep(spark, sf_dir):
+        """CL4/CL9 — threshold sweep: pairwise cluster P/R/F1 (self-pair
+        corrected, arXiv:1808.04216) plus cluster count at each candidate
+        tau in SWEEP_TAUS, against the block-partition gold. ONE
+        clustering pass: per-block incremental union-find sweeps the
+        thresholds descending (operators/cc.threshold_sweep_components),
+        then ONE grouping-sets aggregation computes every tau's pair
+        totals — vs one full CC + metrics job per candidate. All pair
+        totals are exact integers; ratios are single identical-IEEE
+        divisions, floor-rounded to 6 (the portable half-up trick)."""
+        from ent_res_feedback_spark.operators.cc import (
+            threshold_sweep_components,
+        )
+
+        scores = _er_pair_scores(spark, sf_dir)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+        pred = threshold_sweep_components(scores, SWEEP_TAUS, docs)
+        gold = _gold_block_clusters(spark, sf_dir)
+        j = pred.join(
+            gold.select("doc_id", F.col("cluster_id").alias("gc")), "doc_id"
+        ).select("tau", F.col("cluster_id").alias("pc"), "gc")
+        # all three pair totals AND the cluster count per tau in one
+        # aggregation: GROUPING SETS ((tau,pc),(tau,gc),(tau,pc,gc));
+        # tau is in every set, so gid matches cluster_prf's layout
+        # (1 = pc-only, 2 = gc-only, 0 = contingency cell)
+        pairs = F.col("c") * (F.col("c") + 1) / 2
+        gs = j.groupingSets(
+            [["tau", "pc"], ["tau", "gc"], ["tau", "pc", "gc"]],
+            "tau", "pc", "gc",
+        ).agg(F.count("*").alias("c"), F.grouping_id().alias("gid"))
+        out = gs.groupBy("tau").agg(
+            F.sum(F.when(F.col("gid") == 1, F.lit(1)).otherwise(F.lit(0)))
+            .alias("n_clusters"),
+            F.sum(F.when(F.col("gid") == 1, pairs)).alias("n_pred"),
+            F.sum(F.when(F.col("gid") == 2, pairs)).alias("n_gold"),
+            F.sum(F.when(F.col("gid") == 0, pairs)).alias("n_both"),
+        )
+        p = F.col("n_both") / F.col("n_pred")
+        r = F.col("n_both") / F.col("n_gold")
+        r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+        return out.select(
+            "tau",
+            F.col("n_clusters").cast("bigint").alias("n_clusters"),
+            F.col("n_pred").cast("bigint").alias("n_pred"),
+            F.col("n_gold").cast("bigint").alias("n_gold"),
+            F.col("n_both").cast("bigint").alias("n_both"),
+            r6(p).alias("precision"),
+            r6(r).alias("recall"),
+            r6(2 * p * r / (p + r)).alias("f1"),
+        )
+
     return {
         "er_block_key": q_block_key,
         "er_splits": q_er_splits,
+        "er_eps_sweep": q_er_eps_sweep,
         "er_block_census": q_block_census,
         "er_pairs": q_pairs,
         "er_pair_features": q_pair_features,
@@ -1285,6 +1339,61 @@ FROM j
 JOIN cont USING (pc, gc)
 JOIN ps USING (pc)
 JOIN gs USING (gc)
+"""
+
+
+def _eps_sweep_sql() -> str:
+    """DuckDB replay of q_er_eps_sweep: one recursive-CTE CC per
+    candidate tau (the sweep's per-block incremental union-find is
+    equivalent to CC at each threshold because pairs are block-local),
+    then the same exact-integer pair totals and identical double
+    ratios. ``scores``/``gold`` are MATERIALIZED — five dependents each
+    would otherwise re-inline the whole featurization per tau."""
+    parts = []
+    for i, tau in enumerate(SWEEP_TAUS):
+        parts.append(f"""
+edges_{i} AS (
+  SELECT doc_id_1 AS u, doc_id_2 AS v FROM scores WHERE score >= {tau}
+),
+sym_{i} AS (
+  SELECT u, v FROM edges_{i} UNION SELECT v AS u, u AS v FROM edges_{i}
+),
+reach_{i}(u, v) AS (
+  SELECT u, v FROM sym_{i}
+  UNION
+  SELECT r.u, s.v FROM reach_{i} r JOIN sym_{i} s ON r.v = s.u
+),
+comp_{i} AS (
+  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach_{i} GROUP BY u
+),
+j_{i} AS MATERIALIZED (
+  SELECT coalesce(c.cluster_id, d.doc_id) AS pc, g.gc
+  FROM documents d
+  LEFT JOIN comp_{i} c USING (doc_id)
+  JOIN gold g USING (doc_id)
+),
+tot_{i} AS (
+  SELECT CAST({tau} AS DOUBLE) AS tau,
+    (SELECT count(*) FROM (SELECT 1 FROM j_{i} GROUP BY pc)) AS n_clusters,
+    (SELECT sum(c*(c+1)//2) FROM (SELECT count(*) AS c FROM j_{i} GROUP BY pc)) AS n_pred,
+    (SELECT sum(c*(c+1)//2) FROM (SELECT count(*) AS c FROM j_{i} GROUP BY gc)) AS n_gold,
+    (SELECT sum(c*(c+1)//2) FROM (SELECT count(*) AS c FROM j_{i} GROUP BY pc, gc)) AS n_both
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM tot_{i}" for i in range(len(SWEEP_TAUS))
+    )
+    return f"""
+WITH RECURSIVE scores AS MATERIALIZED ({_SCORES_SQL_BODY}),
+gold AS MATERIALIZED ({_gold_sql()}),
+{",".join(parts)},
+allt AS ({union})
+SELECT tau, n_clusters::BIGINT AS n_clusters, n_pred::BIGINT AS n_pred,
+       n_gold::BIGINT AS n_gold, n_both::BIGINT AS n_both,
+       floor((n_both::DOUBLE / n_pred)*1e6 + 0.5)/1e6 AS precision,
+       floor((n_both::DOUBLE / n_gold)*1e6 + 0.5)/1e6 AS recall,
+       floor((2.0*(n_both::DOUBLE / n_pred)*(n_both::DOUBLE / n_gold)
+              / ((n_both::DOUBLE / n_pred) + (n_both::DOUBLE / n_gold)))*1e6 + 0.5)/1e6 AS f1
+FROM allt
 """
 
 
@@ -1774,6 +1883,7 @@ SELECT cluster_id, count(*)::BIGINT AS n_docs
 FROM ({_CLUSTERS_SQL_BODY}) GROUP BY cluster_id
 """,
         "er_splits": _er_splits_sql(),
+        "er_eps_sweep": _eps_sweep_sql(),
         "er_facets": _er_facets_sql(),
         "vote_scores": _vote_sql(),
         "b3_per_item": _b3_per_item_sql(),

@@ -45,6 +45,7 @@ EXTRA = [
     "b3_per_item",       # per-item B3 vs the block partition
     "min_pair_edit",     # per-block greedy edit stats
     "er_splits",         # round-4: KMeans-stratified block split
+    "er_eps_sweep",      # round-5: single-pass threshold sweep (CL4)
 ]
 
 

@@ -9,9 +9,12 @@ definition (prefix weight 0.1, boost threshold 0.7, max prefix 4) and are
 bit-identical to DuckDB's ``jaro_winkler_similarity`` (property-tested in
 tests/test_strdist.py), which is what makes the DuckDB oracle usable.
 
-If ``rapidfuzz`` is importable the batched C kernels are used instead;
-this container lacks it, so the pure-Python fallbacks run (still Arrow
-batched — only the innermost comparison is Python).
+If ``rapidfuzz`` is importable its batched C kernels are used. Without
+it the hot path is the WIDTH-BUCKETED NUMPY kernels (``_vectorized_udf``
+below): each Arrow batch is grouped by string width and each bucket runs
+the whole dynamic program as vectorized numpy array ops over the padded
+codepoint matrix; the scalar per-pair Python kernels only catch
+over-width outliers (and serve as the property-test referees).
 """
 
 from __future__ import annotations

@@ -260,3 +260,97 @@ def components_with_singletons(
     return nodes.join(
         assignments.withColumnRenamed("id", id_col), id_col, "left"
     ).withColumn("component", F.coalesce("component", F.col(id_col)))
+
+
+def threshold_sweep_components(
+    scored_pairs: DataFrame,
+    taus: list[float],
+    nodes: DataFrame,
+    block_col: str = "block_key",
+    id_cols: tuple[str, str] = ("doc_id_1", "doc_id_2"),
+    score_col: str = "score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CL4/CL9 sweep — connected components at EVERY threshold in
+    ``taus`` from ONE pass -> (tau, doc_id, cluster_id), cluster_id =
+    the component's minimum doc_id (identical labeling to
+    ``connected_components`` + ``components_with_singletons``).
+
+    Works because candidate pairs are BLOCK-LOCAL and every doc carries
+    exactly one block key: global CC at any tau equals per-block CC, so
+    the sweep runs as one ``applyInPandas`` over block groups. Inside a
+    block the thresholds are swept DESCENDING with one incremental
+    union-find — edges sort by score once, each tau only unions the
+    edges newly admitted since the previous (stricter) tau, so the k
+    cuts cost one pass over the edge list, not k. Versus re-running the
+    iterative large-star CC per tau: k full multi-round shuffle jobs
+    collapse into one shuffle. Scale bound: per-block state only —
+    blocks are census-capped; for unbounded cross-block graphs use
+    ``connected_components`` per tau instead.
+
+    ``nodes``: the full doc set; docs in no pair (singleton/empty
+    blocks) appear as their own cluster at every tau.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id1, id2 = id_cols
+    taus_desc = sorted({float(t) for t in taus}, reverse=True)
+    out_schema = f"tau double, {id_col} long, cluster_id long"
+
+    def one_block(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(
+            np.concatenate([pdf[id1].to_numpy(), pdf[id2].to_numpy()])
+        )
+        pos = {int(x): i for i, x in enumerate(ids)}
+        n = len(ids)
+        parent = np.arange(n)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        order = pdf.sort_values(score_col, ascending=False)
+        e1 = order[id1].to_numpy()
+        e2 = order[id2].to_numpy()
+        sc = order[score_col].to_numpy()
+        frames = []
+        ptr = 0
+        for tau in taus_desc:
+            while ptr < len(sc) and sc[ptr] >= tau:
+                ra, rb = find(pos[int(e1[ptr])]), find(pos[int(e2[ptr])])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+                ptr += 1
+            roots = np.fromiter((find(i) for i in range(n)), dtype=np.int64,
+                                count=n)
+            # component label = min doc_id; ids is sorted, so the min
+            # member of each root group is ids[min index with that root]
+            lab = pd.Series(ids).groupby(roots).transform("min").to_numpy()
+            frames.append(
+                pd.DataFrame({"tau": np.full(n, tau), id_col: ids,
+                              "cluster_id": lab})
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    slim = scored_pairs.select(block_col, id1, id2, score_col)
+    in_pairs = slim.groupBy(block_col).applyInPandas(one_block, out_schema)
+    # pair membership from the CHEAP pair frame, not from in_pairs —
+    # referencing in_pairs twice would run the sweep kernel twice
+    pair_docs = (
+        slim.select(F.col(id1).alias(id_col))
+        .union(slim.select(F.col(id2).alias(id_col)))
+        .distinct()
+    )
+    lone = (
+        nodes.select(id_col)
+        .join(pair_docs, id_col, "left_anti")
+        .select(
+            F.explode(F.array(*[F.lit(t) for t in taus_desc])).alias("tau"),
+            F.col(id_col),
+            F.col(id_col).alias("cluster_id"),
+        )
+    )
+    return in_pairs.unionByName(lone.select("tau", id_col, "cluster_id"))

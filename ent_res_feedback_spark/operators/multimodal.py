@@ -31,14 +31,147 @@ FEATURE_DIM = 16
 
 
 class DecodeUnavailable(NotImplementedError):
-    """Raised by the real-decoder slot when no codec library is present."""
+    """Raised by the decoder dispatcher for codecs that would need an
+    image library (JPEG/PNG/...); uncompressed containers decode
+    natively below."""
 
 
-def _decode_image_real(payload: bytes, meta) -> np.ndarray:  # pragma: no cover
-    raise DecodeUnavailable(
-        "image decoding requires PIL/opencv — not available in this "
-        "container; use deterministic_fake_features for plumbing tests"
-    )
+# ---------------------------------------------------------------------------
+# Real decoders for uncompressed containers (round-5): pure numpy, no
+# image library. Grayscale convention: float32 HxW in [0,1]; color inputs
+# are reduced with Rec.601 luma (0.299 R + 0.587 G + 0.114 B) — the same
+# single-channel shape every downstream op (resize_bilinear, features)
+# already consumes.
+# ---------------------------------------------------------------------------
+
+_LUMA = np.array([0.299, 0.587, 0.114], dtype=np.float64)
+
+
+def decode_netpbm(payload: bytes) -> np.ndarray:
+    """Binary netpbm: P5 (PGM grayscale) and P6 (PPM RGB). Full header
+    grammar — whitespace-separated tokens with '#' comments — and both
+    sample widths (1 byte for maxval < 256, 2-byte BIG-endian above,
+    per the spec)."""
+    if payload[:2] not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary netpbm payload: magic {payload[:2]!r}")
+    rgb = payload[:2] == b"P6"
+    # header tokenizer: exactly 3 integer tokens after the magic
+    # (width, height, maxval); a single whitespace byte ends the header
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(payload) and payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated netpbm header")
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace byte that terminates the header
+    w, h, maxval = tokens
+    if w <= 0 or h <= 0 or not (0 < maxval < 65536):
+        raise ValueError(f"bad netpbm dimensions/maxval {w}x{h}/{maxval}")
+    channels = 3 if rgb else 1
+    wide = maxval > 255
+    need = w * h * channels * (2 if wide else 1)
+    raster = payload[pos : pos + need]
+    if len(raster) < need:
+        raise ValueError(f"truncated netpbm raster: {len(raster)} < {need}")
+    dt = np.dtype(">u2") if wide else np.dtype("u1")
+    arr = np.frombuffer(raster, dtype=dt).astype(np.float64) / maxval
+    if rgb:
+        return (arr.reshape(h, w, 3) @ _LUMA).astype(np.float32)
+    return arr.reshape(h, w).astype(np.float32)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed Windows BMP (BITMAPINFOHEADER, BI_RGB): 24-bit BGR
+    and 8-bit paletted. Bottom-up row order (top-down when biHeight is
+    negative), rows padded to 4 bytes — the layout quirks that make BMP
+    a real decode, all handled in numpy."""
+    if payload[:2] != b"BM":
+        raise ValueError(f"not a BMP payload: magic {payload[:2]!r}")
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    data_off = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size < 40:
+        raise DecodeUnavailable(f"BMP core-header size {hdr_size} unsupported")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if compression != 0:  # BI_RGB only
+        raise DecodeUnavailable(
+            f"compressed BMP (method {compression}) needs an image library"
+        )
+    top_down = h < 0
+    h = abs(h)
+    if w <= 0 or h == 0:
+        raise ValueError(f"bad BMP dimensions {w}x{h}")
+    row_bytes = (w * bpp // 8 + 3) & ~3  # 4-byte row alignment
+    raster = payload[data_off : data_off + row_bytes * h]
+    if len(raster) < row_bytes * h:
+        raise ValueError("truncated BMP raster")
+    rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, row_bytes)
+    if not top_down:
+        rows = rows[::-1]  # stored bottom-up
+    if bpp == 24:
+        bgr = rows[:, : w * 3].reshape(h, w, 3).astype(np.float64) / 255.0
+        return (bgr[:, :, ::-1] @ _LUMA).astype(np.float32)  # BGR -> RGB
+    if bpp == 8:
+        # palette: <=256 BGRX quads between the headers and the raster
+        pal_off = 14 + hdr_size
+        n_colors = int.from_bytes(payload[46:50], "little") or 256
+        pal = np.frombuffer(
+            payload[pal_off : pal_off + n_colors * 4], dtype=np.uint8
+        ).reshape(-1, 4)[:, :3].astype(np.float64) / 255.0  # B,G,R
+        luma = pal[:, ::-1] @ _LUMA  # per-palette-entry luma
+        idx = rows[:, :w]
+        if idx.max(initial=0) >= len(luma):
+            raise ValueError("BMP palette index out of range")
+        return luma[idx].astype(np.float32)
+    raise DecodeUnavailable(f"BMP bit depth {bpp} unsupported (24/8 only)")
+
+
+def decode_image(payload: bytes, height: int | None = None, width: int | None = None) -> np.ndarray:
+    """Real-decoder dispatcher (the former stub slot): uncompressed BMP
+    and binary PPM/PGM decode natively; anything else raises
+    ``DecodeUnavailable`` (compressed codecs genuinely need an image
+    library this container lacks). ``height``/``width`` are the meta
+    hints — the CONTAINER dimensions win; a mismatch with non-None hints
+    raises, catching stale metadata instead of silently resizing."""
+    magic = bytes(payload[:2])
+    if magic == b"BM":
+        img = decode_bmp(payload)
+    elif magic in (b"P5", b"P6"):
+        img = decode_netpbm(payload)
+    else:
+        raise DecodeUnavailable(
+            f"codec magic {magic!r} has no native decoder (BMP/PPM/PGM "
+            "only); swap in a library-backed decode_fn for it"
+        )
+    if height is not None and width is not None and img.shape != (height, width):
+        raise ValueError(
+            f"meta says {height}x{width} but payload decodes to "
+            f"{img.shape[0]}x{img.shape[1]}"
+        )
+    return img
+
+
+def decode_image_or_fake(payload: bytes, height: int, width: int) -> np.ndarray:
+    """Drop-in ``decode_fn`` for ``resize_media``: real decode when the
+    payload is a supported container, deterministic hash-image fallback
+    otherwise (synthetic refs, exotic codecs) — so one pipeline handles
+    mixed real/synthetic media columns."""
+    try:
+        return decode_image(payload)
+    except (DecodeUnavailable, ValueError):
+        return deterministic_fake_image(payload, height, width)
 
 
 def deterministic_fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:

@@ -43,7 +43,14 @@ def kmeans_strata_1d(
     sizes, sum of weights); the only floating-point op is the per-element
     distance ``abs(size - S/W)`` — a single IEEE division and
     subtraction that any engine reproduces bit-exactly, so the SQL
-    replay cannot drift. Init: k evenly-rank-spaced distinct sizes
+    replay cannot drift. Exactness bound: this holds while S = sum(w*s)
+    and W = sum(w) each stay below 2^53 — beyond that the SQL side's
+    S::DOUBLE / W::DOUBLE (two roundings) can diverge from Python's
+    correctly-rounded big-int division. W < 2^53 is ~9e15 documents
+    (above the 1e12 design point) and S < 2^53 allows e.g. 1e12 docs at
+    average block size 9000, so the bound is not binding at target
+    scale; for corpora beyond it, downscale the histogram weights
+    before the Lloyd loop. Init: k evenly-rank-spaced distinct sizes
     (deterministic); ties in assignment break toward the smaller
     centroid index; empty centroids keep their previous value.
     """

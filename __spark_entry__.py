@@ -1114,10 +1114,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             r6(2 * p * r / (p + r)).alias("f1"),
         )
 
+    def q_mini_corpus(spark, sf_dir):
+        """Preprocessing-lifecycle subsetter (reference
+        scripts/make_s2and_mini_dataset.py:25-26, 84-105): per-source
+        block census -> cutoff + first-top-N-by-name kept blocks ->
+        clusters fully contained in kept blocks -> docs re-derived from
+        surviving clusters. The cluster partition is the deterministic
+        ``doc_id % 250`` pairing, which straddles sources and blocks, so
+        the full-containment rule is exercised non-trivially."""
+        from ent_res_feedback_spark.operators.subset import mini_corpus
+
+        from ent_res_feedback_spark.functions.text import (
+            compute_block_key,
+            normalize_text_ascii,
+        )
+
+        raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = raw.select(
+            "doc_id",
+            "source",
+            compute_block_key(normalize_text_ascii(F.col("text"))).alias(
+                "block_key"
+            ),
+        )
+        clusters = raw.select(
+            "doc_id", (F.col("doc_id") % 250).alias("cluster_id")
+        )
+        kept = mini_corpus(
+            docs,
+            clusters,
+            big_block_cutoff=2,
+            top_blocks_to_keep=15,
+            dataset_col="source",
+        )
+        return kept.join(clusters, "doc_id").select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "block_key",
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        )
+
     return {
         "er_block_key": q_block_key,
         "er_splits": q_er_splits,
         "er_eps_sweep": q_er_eps_sweep,
+        "mini_corpus": q_mini_corpus,
         "er_block_census": q_block_census,
         "er_pairs": q_pairs,
         "er_pair_features": q_pair_features,
@@ -1686,6 +1726,31 @@ FROM best
 """
 
 
+def _mini_corpus_sql() -> str:
+    """DuckDB replay of q_mini_corpus (operators/subset.mini_corpus):
+    per-source census, cutoff<=2, first 15 eligible blocks in name
+    order, clusters (doc_id % 250) kept only when fully contained,
+    docs re-derived from surviving clusters."""
+    block = _block_sql("text")
+    return f"""
+WITH d AS (SELECT doc_id, source, {block} AS block_key FROM documents),
+cl AS (SELECT doc_id, doc_id % 250 AS cluster_id FROM documents),
+census AS (SELECT source, block_key, count(*) AS n FROM d GROUP BY 1, 2),
+kb AS (
+  SELECT source, block_key FROM (
+    SELECT source, block_key,
+           row_number() OVER (PARTITION BY source ORDER BY block_key) AS rk
+    FROM census WHERE n <= 2) WHERE rk <= 15),
+in_kept AS (SELECT d.doc_id, 1 AS kept FROM d JOIN kb USING (source, block_key)),
+full_cl AS (
+  SELECT cluster_id FROM cl LEFT JOIN in_kept USING (doc_id)
+  GROUP BY cluster_id HAVING count(*) = count(kept)),
+kept_ids AS (SELECT doc_id FROM cl SEMI JOIN full_cl USING (cluster_id))
+SELECT d.doc_id, d.block_key, cl.cluster_id
+FROM d SEMI JOIN kept_ids USING (doc_id) JOIN cl USING (doc_id)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from ent_res_feedback_spark.functions.hashing import sql_minhash_expr
 
@@ -1884,6 +1949,7 @@ FROM ({_CLUSTERS_SQL_BODY}) GROUP BY cluster_id
 """,
         "er_splits": _er_splits_sql(),
         "er_eps_sweep": _eps_sweep_sql(),
+        "mini_corpus": _mini_corpus_sql(),
         "er_facets": _er_facets_sql(),
         "vote_scores": _vote_sql(),
         "b3_per_item": _b3_per_item_sql(),

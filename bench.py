@@ -79,6 +79,7 @@ def run_headline(sf_dir: str = SF_DIR, cpus: int = CPUS) -> dict:
     # frame reports the operators' OWN cost separately from that forced
     # re-derivation (judge round-3 item #8)
     shared = _shared_intermediate_timings(spark, sf_dir)
+    skew = _skew_stress(spark)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     return {
         "metric": "headline_query_wall_total",
@@ -87,8 +88,51 @@ def run_headline(sf_dir: str = SF_DIR, cpus: int = CPUS) -> dict:
         "queries": timings,
         "extra_queries": extra,
         "shared_intermediate": shared,
+        "skew_stress": skew,
         "sf": float(sf),
         "cpus": cpus,
+    }
+
+
+def _skew_stress(spark) -> dict:
+    """Giant-block stress: ONE blocking key 100x over salt_threshold
+    (~2e8 pairs from a single key) pushed through the bucketed-salt
+    pair path, with the exactly-once pair count asserted against
+    n*(n-1)/2. This proves the salt path — not just the census — carries
+    a truly pathological key: 16 buckets fan the hot block into 136
+    bucket-pair tasks instead of one straggler."""
+    from pyspark.sql import functions as F
+
+    from ent_res_feedback_spark.operators.pairs import within_block_pairs
+
+    n_hot, salt_threshold, buckets = 20000, 200, 16
+    docs = spark.range(n_hot + 5000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < n_hot, F.lit("HOT"))
+        .otherwise(F.concat(F.lit("c"), (F.col("id") % 1000).cast("string")))
+        .alias("block_key"),
+    )
+    t0 = time.time()
+    pairs = within_block_pairs(
+        docs, salt_threshold=salt_threshold, num_salt_buckets=buckets
+    )
+    hot_pairs = pairs.where(F.col("block_key") == "HOT").count()
+    wall = round(time.time() - t0, 3)
+    expected = n_hot * (n_hot - 1) // 2
+    assert hot_pairs == expected, (hot_pairs, expected)
+    print(
+        f"# skew_stress: {hot_pairs} pairs from one {n_hot}-doc block "
+        f"({n_hot // salt_threshold}x over salt_threshold) in {wall}s",
+        file=sys.stderr,
+    )
+    return {
+        "hot_block_size": n_hot,
+        "salt_threshold": salt_threshold,
+        "times_over_threshold": n_hot // salt_threshold,
+        "num_salt_buckets": buckets,
+        "hot_block_pairs": hot_pairs,
+        "exactly_once": hot_pairs == expected,
+        "wall_sec": wall,
     }
 
 

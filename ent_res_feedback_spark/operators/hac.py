@@ -29,7 +29,7 @@ def _nn_chain_merges(dist: np.ndarray) -> list[tuple[int, int, float]]:
     it at any number of thresholds with ``_flat_cut`` (the single-pass
     ``tune_eps`` relies on exactly this).
 
-    Tie caveat (locked by tests/test_hac.py::test_tie_heavy_*): under
+    Tie caveat (locked by tests/test_tune_eps.py::test_tie_heavy_*): under
     exact distance ties the nn-chain may merge in a different ORDER than
     the naive global-argmin loop, so the flat partition can differ on
     tie-heavy matrices (e.g. block-constant distances) while remaining a

@@ -34,6 +34,23 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 
+# Join-strategy note (applies to both star rounds and the singleton
+# left-join below): the ``mins`` / ``assignments`` sides GROW LINEARLY
+# with the node set, so AQE's size-based broadcast conversion — which
+# fires at test scale because each iteration's aggregate happens to be
+# a few MB — is the wrong physical plan at 10^12 nodes (an un-broadcastable
+# build side) and, measured at bench scale, its per-join broadcast
+# materialization jobs are latency-bound (<2x speedup 2->8 cores; ~24
+# such jobs = ~59s of a 286s run). The SHUFFLE_HASH hint pins the
+# scale-correct shuffled hash join: the build side carries exactly ONE
+# row per join key (the per-key min / the per-node assignment), so each
+# build map is bounded by distinct-keys-per-partition (AQE sizes
+# partitions to ~64MB), while the probe side STREAMS — a skewed hot
+# neighborhood never needs to be sorted or buffered. AQE still applies
+# skew-join splitting to shuffled hash joins; it only stops flipping
+# them to broadcast.
+
+
 def _sym(edges: DataFrame) -> DataFrame:
     """Undirected view: both directions, no self loops."""
     fwd = edges.select("src", "dst")
@@ -47,7 +64,7 @@ def _large_star(edges: DataFrame) -> DataFrame:
         F.least(F.min("dst"), F.col("src")).alias("m")
     )
     out = (
-        nbrs.join(mins, "src")
+        nbrs.join(mins.hint("shuffle_hash"), "src")
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
     )
@@ -61,7 +78,7 @@ def _small_star(edges: DataFrame) -> DataFrame:
     ).where(F.col("src") != F.col("dst"))
     mins = directed.groupBy("src").agg(F.min("dst").alias("m"))
     nbr_edges = (
-        directed.join(mins, "src")
+        directed.join(mins.hint("shuffle_hash"), "src")
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
     )
     self_edges = mins.select("src", F.col("m").alias("dst"))
@@ -256,9 +273,13 @@ def components_with_singletons(
     assignments: DataFrame, nodes: DataFrame, id_col: str
 ) -> DataFrame:
     """Left-join CC assignments onto the full node set; edge-less nodes
-    become singleton clusters keyed by their own id."""
+    become singleton clusters keyed by their own id. The assignments
+    side grows with the graph — shuffle-hash pinned, never broadcast
+    (see the join-strategy note at the top of this module)."""
     return nodes.join(
-        assignments.withColumnRenamed("id", id_col), id_col, "left"
+        assignments.withColumnRenamed("id", id_col).hint("shuffle_hash"),
+        id_col,
+        "left",
     ).withColumn("component", F.coalesce("component", F.col(id_col)))
 
 

@@ -242,19 +242,37 @@ def er_job(d, out_path):
 # (RUN -> one timed full run; FINISH -> verify + event-log breakdown).
 er_job(docs, "/tmp/er_scaling_warm_%d" % cores)
 import gc as _gc
+
+def _cpu_stat():
+    # whole-host /proc/stat: user nice system idle iowait irq softirq steal.
+    # Per-run STEAL fraction is recorded with every timed wall so the
+    # hypervisor-noise term (this is a KVM guest; cumulative steal since
+    # boot is ~12% of busy time) is measured, not guessed, for every pair.
+    with open("/proc/stat") as fh:
+        v = [int(x) for x in fh.readline().split()[1:]]
+    return {"busy": v[0] + v[1] + v[2] + v[5] + v[6],
+            "idle": v[3] + v[4], "steal": v[7]}
+
 walls = []
+steals = []  # per timed run: hypervisor steal % of host cpu-time
 windows = []  # (t0_ms, t1_ms) per timed run, for event-log segmentation
 print("READY", flush=True)
 for line in sys.stdin:
     cmd = line.strip()
     if cmd == "RUN":
         _gc.collect()  # drop py4j refs to the previous run's RDDs
+        s0 = _cpu_stat()
         t_rep = time.time()
         er_job(docs, "/tmp/er_scaling_out_%d" % cores)
         w = time.time() - t_rep
+        s1 = _cpu_stat()
+        tot = sum(s1[k2] - s0[k2] for k2 in s1)
+        st = round(100.0 * (s1["steal"] - s0["steal"]) / max(tot, 1), 3)
         walls.append(w)
+        steals.append(st)
         windows.append((int(t_rep * 1000), int(time.time() * 1000)))
-        print("WALL " + json.dumps({"wall_sec": round(w, 3)}), flush=True)
+        print("WALL " + json.dumps({"wall_sec": round(w, 3),
+                                    "steal_pct": st}), flush=True)
     elif cmd == "FINISH":
         break
 n_clusters = spark.read.parquet("/tmp/er_scaling_out_%d" % cores).select(
@@ -308,6 +326,7 @@ for j in ordered:
 print("RESULT " + json.dumps({
     "cores": cores, "docs": n,
     "walls": [round(w, 3) for w in walls],
+    "steal_pcts": steals,
     "heavy_job_walls": [heavy.get(i) for i in range(len(walls))],
     "n_clusters": n_clusters}), flush=True)
 """
@@ -451,7 +470,14 @@ def run_scaling(
 
         walls = {lo: [], hi: []}
         for i in range(pairs):
-            for cores in cores_pair:  # strict alternation: lo then hi
+            # ALTERNATING pair order (lo,hi then hi,lo then lo,hi ...):
+            # within a pair the earlier run sits in an earlier host-speed
+            # window, so a linear host drift biases every same-order pair
+            # in the SAME direction; mirroring the order on odd pairs
+            # flips that bias's sign so it cancels out of the pooled
+            # median instead of accumulating.
+            order = cores_pair if i % 2 == 0 else tuple(reversed(cores_pair))
+            for cores in order:
                 w = _timed_run(cores)
                 walls[cores].append(w)
                 print(f"# pair {i} cores={cores}: {w}s", file=sys.stderr)
@@ -501,12 +527,20 @@ def run_scaling(
     assert results[lo]["n_clusters"] == results[hi]["n_clusters"], (
         "arms disagree on cluster count"
     )
+    steal = {
+        c: results[c].get("steal_pcts") or [] for c in cores_pair
+    }
     return {
         "runs": results,
         "scaling_efficiency": med,
         "paired_efficiencies": paired_eff,
         "heavy_job_paired_efficiencies": heavy_eff,
-        "protocol": "interleaved-pairs",
+        # per-pair hypervisor steal (% of host cpu-time during each timed
+        # window, lo-arm and hi-arm) — the measured external-noise term
+        "steal_pct_pairs": [
+            [a, b] for a, b in zip(steal[lo], steal[hi])
+        ],
+        "protocol": "interleaved-pairs-mirrored",
         "cores_pair": list(cores_pair),
     }
 
@@ -604,6 +638,12 @@ def _append_baseline_md(res: dict):
             f"**{res['scaling_efficiency']}**; heavy featurization job "
             f"paired efficiencies: "
             f"{res.get('heavy_job_paired_efficiencies', [])}.\n"
+        )
+    if res.get("steal_pct_pairs"):
+        lines.append(
+            f"Hypervisor steal during each timed window "
+            f"(% of host cpu-time, [N-arm, 4N-arm] per pair): "
+            f"{res['steal_pct_pairs']}.\n"
         )
     header = "# BENCH/BASELINE — measured runs\n" if not os.path.exists(path) else ""
     with open(path, "a") as f:

@@ -554,6 +554,11 @@ def pooled_scaling_summary(path: str | None = None) -> dict:
     Parses the ``Paired efficiencies ...: [..] -> median **..**; heavy
     featurization job paired efficiencies: [..]`` line each session
     appends; returns per-session lists/medians plus the pooled medians.
+    Sessions recorded after round 5 carry an ``engine <sha>`` tag in
+    their header (the commit whose physical plans the session measured);
+    ``by_engine`` re-pools per tag so the acceptance read can be sliced
+    to the SHIPPED engine when a plan-changing commit lands mid-round
+    (untagged legacy sessions pool under ``pre-r5``).
     """
     import re
 
@@ -565,13 +570,19 @@ def pooled_scaling_summary(path: str | None = None) -> dict:
         r"Paired efficiencies[^:]*:\s*\[([^\]]*)\][^;]*;"
         r"\s*heavy featurization job paired efficiencies:\s*\[([^\]]*)\]"
     )
+    eng_pat = re.compile(r"engine ([0-9a-f]{7,40})")
     sessions = []
     with open(path) as f:
-        for m in pat.finditer(f.read()):
+        for chunk in f.read().split("## Scaling run")[1:]:
+            m = pat.search(chunk)
+            if not m:
+                continue
             e2e = [float(x) for x in m.group(1).split(",") if x.strip()]
             heavy = [float(x) for x in m.group(2).split(",") if x.strip()]
+            em = eng_pat.search(chunk.split("\n", 1)[0])
             sessions.append(
                 {
+                    "engine": em.group(1) if em else "pre-r5",
                     "paired_efficiencies": e2e,
                     "median": _median(e2e),
                     "heavy_job_paired_efficiencies": heavy,
@@ -580,6 +591,18 @@ def pooled_scaling_summary(path: str | None = None) -> dict:
             )
     all_e2e = [e for s in sessions for e in s["paired_efficiencies"]]
     all_heavy = [e for s in sessions for e in s["heavy_job_paired_efficiencies"]]
+    by_engine = {}
+    for s in sessions:
+        g = by_engine.setdefault(
+            s["engine"], {"paired_efficiencies": [], "heavy": []}
+        )
+        g["paired_efficiencies"] += s["paired_efficiencies"]
+        g["heavy"] += s["heavy_job_paired_efficiencies"]
+    for g in by_engine.values():
+        heavy = g.pop("heavy")
+        g["n_pairs"] = len(g["paired_efficiencies"])
+        g["median"] = _median(g["paired_efficiencies"])
+        g["heavy_median"] = _median(heavy) if heavy else None
     return {
         "sessions": sessions,
         "n_pairs": len(all_e2e),
@@ -587,6 +610,7 @@ def pooled_scaling_summary(path: str | None = None) -> dict:
         "pooled_median": _median(all_e2e) if all_e2e else None,
         "pooled_heavy_median": _median(all_heavy) if all_heavy else None,
         "session_medians": [s["median"] for s in sessions],
+        "by_engine": by_engine,
     }
 
 
@@ -619,9 +643,18 @@ def _append_baseline_md(res: dict):
                         "BENCH", "BASELINE.md")
     lo, hi = res["cores_pair"]
     r = res["runs"]
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip()
+    except Exception:
+        sha = ""
     lines = [
         f"\n## Scaling run ({time.strftime('%Y-%m-%d %H:%M:%S')})"
-        f" — protocol: {res.get('protocol', 'sequential-arms')}\n",
+        f" — protocol: {res.get('protocol', 'sequential-arms')}"
+        + (f" — engine {sha}" if sha else "") + "\n",
         "| run | cores | input docs | wall (s) | docs/sec | scaling eff |\n",
         "|---|---|---|---|---|---|\n",
         f"| N | local[{lo}] | {r[lo]['docs']} | {r[lo]['wall_sec']} "

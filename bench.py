@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -46,6 +47,7 @@ EXTRA = [
     "min_pair_edit",     # per-block greedy edit stats
     "er_splits",         # round-4: KMeans-stratified block split
     "er_eps_sweep",      # round-5: single-pass threshold sweep (CL4)
+    "mini_corpus",       # round-5: block-cutoff + top-N corpus subsetter
 ]
 
 
@@ -342,6 +344,45 @@ def _median(xs) -> float:
     return round((s[n // 2 - 1] + s[n // 2]) / 2.0, 4)
 
 
+def _parse_core_list(spec: str) -> set:
+    """'0-1,5' -> {0, 1, 5}."""
+    out = set()
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if "-" in part:
+            a, b = part.split("-", 1)
+            out.update(range(int(a), int(b) + 1))
+        else:
+            out.add(int(part))
+    return out
+
+
+def _pids_pinned_inside(cores: set) -> list:
+    """PIDs of live processes whose CPU affinity is a SUBSET of
+    ``cores`` — i.e. explicitly pinned inside an arm's core set (a dead
+    arm's orphaned JVM / pyspark daemons). Unpinned system processes
+    (affinity = all CPUs) never qualify."""
+    hits = []
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit() or int(pid) == os.getpid():
+            continue
+        try:
+            with open(f"/proc/{pid}/status") as fh:
+                status = fh.read()
+            line = next((ln for ln in status.splitlines()
+                         if ln.startswith("Cpus_allowed_list:")), "")
+            if not line:
+                continue
+            allowed = _parse_core_list(line.split(":", 1)[1])
+            if allowed and allowed <= cores:
+                hits.append(int(pid))
+        except (FileNotFoundError, ProcessLookupError, ValueError, OSError):
+            continue
+    return hits
+
+
 def _read_until(proc, prefix: str, deadline_s: float = 7200) -> str:
     """Read the child's stdout line-by-line until a line starts with
     ``prefix``; echo other lines to stderr for visibility.
@@ -435,12 +476,49 @@ def run_scaling(
             stderr=errlog,
             text=True,
             bufsize=1,
+            # own process GROUP: killing the arm must kill its JVM
+            # grandchild (spark-submit) too — Popen.kill() alone leaves
+            # the JVM burning the pinned cores, which doubled a
+            # post-restart timed run in the 2026-08-18 session
+            start_new_session=True,
         )
 
-    def _timed_run(cores: int) -> float:
+    def _kill_arm(cores: int):
+        """Kill the arm's whole process group and WAIT until its pinned
+        cores are actually quiet (the lingering-JVM lesson above)."""
+        p = procs[cores]
+        try:
+            os.killpg(os.getpgid(p.pid), signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            pass
+        try:
+            p.wait(timeout=30)
+        except Exception:
+            pass
+        # any process still PINNED INSIDE this arm's core set (the dead
+        # arm's JVM / pyspark daemons inherit its exact taskset) must
+        # exit before a restart re-warms, or the runs share cores
+        deadline = time.time() + 120
+        my_cores = set(range(lo, lo + hi)) if cores == hi else set(range(lo))
+        while time.time() < deadline:
+            if not _pids_pinned_inside(my_cores):
+                return
+            time.sleep(2)
+        print(f"# WARNING: processes still pinned to cores of arm "
+              f"{cores} after 120s; restarting anyway", file=sys.stderr)
+
+    restart_at = {lo: None, hi: None}  # pair index of an arm's restart
+
+    def _timed_run(cores: int, pair_idx: int) -> tuple:
         """Issue one RUN; if the arm died (transient worker death), restart
         it ONCE (re-warm, untimed) and retry, so a single flake doesn't
-        kill the whole interleaved session."""
+        kill the whole interleaved session. Returns (wall, tainted):
+        tainted=True marks a run in a restarted-arm pair — the pair is
+        NOT a clean paired sample (the 2026-08-18 session measured a 2x
+        wall on such a run even after the orphaned-JVM kill fix, from
+        the fresh JVM's shallower warm state) and is excluded from the
+        paired-efficiency stats, reported separately."""
+        tainted = False
         try:
             procs[cores].stdin.write("RUN\n")
             procs[cores].stdin.flush()
@@ -449,16 +527,17 @@ def run_scaling(
             if restarts[cores] >= 1:
                 raise
             restarts[cores] += 1
+            restart_at[cores] = pair_idx
+            tainted = True
             print(f"# arm cores={cores} died ({exc}); restarting once",
                   file=sys.stderr)
-            if procs[cores].poll() is None:
-                procs[cores].kill()
+            _kill_arm(cores)
             _start_arm(cores)
             _read_until(procs[cores], "READY")
             procs[cores].stdin.write("RUN\n")
             procs[cores].stdin.flush()
             line = _read_until(procs[cores], "WALL ")
-        return json.loads(line[len("WALL "):])["wall_sec"]
+        return json.loads(line[len("WALL "):])["wall_sec"], tainted
 
     try:
         for cores in cores_pair:
@@ -469,6 +548,7 @@ def run_scaling(
             print(f"# arm cores={cores} warm and ready", file=sys.stderr)
 
         walls = {lo: [], hi: []}
+        tainted_pairs = set()
         for i in range(pairs):
             # ALTERNATING pair order (lo,hi then hi,lo then lo,hi ...):
             # within a pair the earlier run sits in an earlier host-speed
@@ -478,9 +558,13 @@ def run_scaling(
             # median instead of accumulating.
             order = cores_pair if i % 2 == 0 else tuple(reversed(cores_pair))
             for cores in order:
-                w = _timed_run(cores)
+                w, tainted = _timed_run(cores, i)
                 walls[cores].append(w)
-                print(f"# pair {i} cores={cores}: {w}s", file=sys.stderr)
+                if tainted:
+                    tainted_pairs.add(i)
+                print(f"# pair {i} cores={cores}: {w}s"
+                      + (" [restart-tainted]" if tainted else ""),
+                      file=sys.stderr)
 
         results = {}
         for cores in cores_pair:
@@ -499,25 +583,61 @@ def run_scaling(
             procs[cores].wait(timeout=600)
     finally:
         for p in procs.values():
+            try:  # group kill: take the JVM grandchild down too
+                os.killpg(os.getpgid(p.pid), signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                pass
             if p.poll() is None:
                 p.kill()
 
+    # A restarted arm never demonstrably returns to the session's steady
+    # state (2026-08-18: the restarted 2-core arm ran 1.3-2.3x slower
+    # than its pre-restart walls for the REST of the session), and a
+    # slow lo-arm inflates the efficiency ratio — the dishonest
+    # direction. Exclude every pair from the restart onward.
+    for arm, at in restart_at.items():
+        if at is not None:
+            tainted_pairs.update(range(at, pairs))
+
     docs = results[lo]["docs"]
     ratio = hi / lo
-    paired_eff = [
+    paired_eff_all = [
         round((wl / wh) / ratio, 4)
         for wl, wh in zip(walls[lo], walls[hi])
     ]
-    heavy_lo = results[lo].get("heavy_job_walls") or []
-    heavy_hi = results[hi].get("heavy_job_walls") or []
+    paired_eff = [
+        e for i, e in enumerate(paired_eff_all) if i not in tainted_pairs
+    ]
+    excluded = {
+        str(i): paired_eff_all[i]
+        for i in sorted(tainted_pairs)
+        if i < len(paired_eff_all)
+    }
+    if not paired_eff:  # every pair tainted: report them, flagged
+        paired_eff = paired_eff_all
+
+    def _aligned(arm: int, key: str) -> dict:
+        """Map a child-side per-run list (heavy walls, steal pcts) to
+        PAIR indices: after a restart at pair r the child's list only
+        covers pairs r.. — align by that offset."""
+        vals = results[arm].get(key) or []
+        offset = restart_at[arm] or 0
+        return {offset + j: v for j, v in enumerate(vals)}
+
+    heavy_lo = _aligned(lo, "heavy_job_walls")
+    heavy_hi = _aligned(hi, "heavy_job_walls")
     heavy_eff = [
-        round((a / b) / ratio, 4)
-        for a, b in zip(heavy_lo, heavy_hi)
-        if a and b
+        round((heavy_lo[i] / heavy_hi[i]) / ratio, 4)
+        for i in range(pairs)
+        if i not in tainted_pairs
+        and heavy_lo.get(i) and heavy_hi.get(i)
     ]
     med = _median(paired_eff)
-    med_lo = _median(walls[lo])
-    med_hi = _median(walls[hi])
+    clean = [i for i in range(pairs) if i not in tainted_pairs] or list(
+        range(pairs)
+    )
+    med_lo = _median([walls[lo][i] for i in clean if i < len(walls[lo])])
+    med_hi = _median([walls[hi][i] for i in clean if i < len(walls[hi])])
     for cores in cores_pair:
         results[cores]["walls"] = [round(w, 3) for w in walls[cores]]
         results[cores]["wall_sec"] = med_lo if cores == lo else med_hi
@@ -527,18 +647,20 @@ def run_scaling(
     assert results[lo]["n_clusters"] == results[hi]["n_clusters"], (
         "arms disagree on cluster count"
     )
-    steal = {
-        c: results[c].get("steal_pcts") or [] for c in cores_pair
-    }
+    steal_lo = _aligned(lo, "steal_pcts")
+    steal_hi = _aligned(hi, "steal_pcts")
     return {
         "runs": results,
         "scaling_efficiency": med,
         "paired_efficiencies": paired_eff,
+        # pairs where an arm died and was restarted mid-pair: not clean
+        # paired samples (reported, excluded from the stats above)
+        "restart_excluded_pairs": excluded,
         "heavy_job_paired_efficiencies": heavy_eff,
         # per-pair hypervisor steal (% of host cpu-time during each timed
         # window, lo-arm and hi-arm) — the measured external-noise term
         "steal_pct_pairs": [
-            [a, b] for a, b in zip(steal[lo], steal[hi])
+            [steal_lo.get(i), steal_hi.get(i)] for i in range(pairs)
         ],
         "protocol": "interleaved-pairs-mirrored",
         "cores_pair": list(cores_pair),
@@ -644,8 +766,12 @@ def _append_baseline_md(res: dict):
     lo, hi = res["cores_pair"]
     r = res["runs"]
     try:
+        # tag with the last commit that touched the ENGINE tree, not HEAD:
+        # doc-only commits between sessions must not fragment the
+        # per-engine pooling in pooled_scaling_summary()
         sha = subprocess.run(
-            ["git", "rev-parse", "--short", "HEAD"],
+            ["git", "log", "-1", "--format=%h", "--",
+             "ent_res_feedback_spark/"],
             capture_output=True, text=True, timeout=10,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout.strip()
@@ -671,6 +797,12 @@ def _append_baseline_md(res: dict):
             f"**{res['scaling_efficiency']}**; heavy featurization job "
             f"paired efficiencies: "
             f"{res.get('heavy_job_paired_efficiencies', [])}.\n"
+        )
+    if res.get("restart_excluded_pairs"):
+        lines.append(
+            f"Restart-excluded pairs (arm died and was restarted "
+            f"mid-pair; not clean paired samples): "
+            f"{res['restart_excluded_pairs']}.\n"
         )
     if res.get("steal_pct_pairs"):
         lines.append(

@@ -180,7 +180,7 @@ def connected_components(
     edges: DataFrame,
     checkpoint_dir: str | None = None,
     max_iterations: int = 50,
-    checkpoint_interval: int = 2,
+    checkpoint_interval: int = 1,
 ) -> DataFrame:
     """Compute connected components of an undirected edge list
     (columns ``src``, ``dst``) -> assignments ``(id, component)`` where
@@ -199,7 +199,17 @@ def connected_components(
     checksum rides the checkpoint action as an Observation — so a k-round
     super-step costs ONE job, not 2k. Extra rounds past the fixpoint are
     no-ops on the edge set (star rounds are idempotent there), so interval
-    > 1 never changes the result.
+    > 1 never changes the result (k-invariance test in tests/test_cc.py).
+
+    Default k=1, MEASURED (BENCH/ANALYSIS.md round-5): each star round's
+    logical plan embeds its input ~3x, so a k-round super-step carries
+    ~3^(2k) subtree copies — 81 at k=2 vs 9 at k=1 — and the driver-side
+    planning/codegen of those plans is a per-super-step FIXED cost that
+    scales with nothing. At 550k docs, k=1 beat k=2 end-to-end by 36% at
+    2 cores and ~55% at 8 (identical clusters), because halving the
+    unrolled plan depth outweighs doubling the (cheap, Observation-
+    riding) checkpoint actions. k=4 is structurally unsafe (driver OOM
+    rendering the ~6,561-copy plan at bench scale).
     """
     spark = edges.sparkSession
     store = CheckpointStore(spark, checkpoint_dir) if checkpoint_dir else None

@@ -106,11 +106,11 @@ def test_cc_path_graph_converges(spark):
     assert len(got) == n
 
 
-@pytest.mark.parametrize("k", [1, 3])
+@pytest.mark.parametrize("k", [2, 3])
 def test_cc_checkpoint_interval_invariance(spark, k):
     """checkpoint_interval batches star rounds per materialization (a
     barrier-budget knob); extra rounds past the fixpoint are no-ops, so
-    any k must produce the identical assignment as the default k=2.
+    any k must produce the identical assignment as the default k=1.
 
     k is bounded at 3 here ON PURPOSE: each star round's logical plan
     embeds the previous round's tree ~3x (the round's input appears in
@@ -118,7 +118,9 @@ def test_cc_checkpoint_interval_invariance(spark, k):
     k-round super-step costs ~3^(2k) subtree copies regardless of data
     size — k=7 hangs Catalyst for tens of minutes and k=4 OOM'd an 8 GB
     driver at corpus scale (BENCH/ANALYSIS.md round-5 matrix). That
-    blow-up is why checkpoint_interval=2 is the shipped default."""
+    blow-up — 81 subtree copies at k=2 vs 9 at k=1, a fixed per-super-
+    step driver planning cost — is why k=1 is the shipped default
+    (measured 36-55% faster end-to-end, BENCH/ANALYSIS.md round-5)."""
     rng = random.Random(99)
     n, m = 150, 160
     edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
@@ -126,7 +128,7 @@ def test_cc_checkpoint_interval_invariance(spark, k):
     edf = spark.createDataFrame(edges, "src long, dst long")
     base = {
         r["id"]: r["component"]
-        for r in connected_components(edf, checkpoint_interval=2).collect()
+        for r in connected_components(edf).collect()  # default k=1
     }
     got = {
         r["id"]: r["component"]

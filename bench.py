@@ -203,7 +203,12 @@ if _os.path.isdir("/dev/shm"):
     extra["spark.local.dir"] = "/dev/shm/spark-tmp"
 # Non-invasive per-job attribution: event log -> job wall breakdown of the
 # timed window, so fixed (non-scaling) cost is measured, not guessed.
-evdir = "/tmp/er-events-%d" % cores
+# The dir is keyed by THIS child's pid, not just the core count: a second
+# coordinator accidentally started alongside a live one must not rmtree
+# the live arms' event logs out from under them (it happened — the live
+# JVMs kept writing to unlinked inodes and the breakdown parsed the
+# intruder's stale log).
+evdir = "/tmp/er-events-%d-%d" % (cores, _os.getpid())
 _shutil.rmtree(evdir, ignore_errors=True)
 _os.makedirs(evdir, exist_ok=True)
 extra["spark.eventLog.enabled"] = "true"
@@ -448,6 +453,22 @@ def run_scaling(
     same 4x ratio in the regime where the box behaves like a node.
     """
     repo = os.path.dirname(os.path.abspath(__file__))
+    # Exactly-one-coordinator lock: a second --scaling run started while one
+    # is live would share the pinned cores and contaminate the timed walls
+    # of BOTH (it happened mid-round-5; the overlapped pair had to be
+    # excluded from the record). Held for the life of this process.
+    import fcntl
+    _lockfh = open("/tmp/er-scaling.lock", "w")
+    try:
+        fcntl.flock(_lockfh, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
+        raise RuntimeError(
+            "another bench.py --scaling coordinator is already running "
+            "(holds /tmp/er-scaling.lock); refusing to contaminate its "
+            "pinned-core timed runs"
+        )
+    _lockfh.write(str(os.getpid()))
+    _lockfh.flush()
     lo, hi = cores_pair
     ncpu = os.cpu_count() or 0
     have_taskset = bool(shutil_which("taskset")) and ncpu >= lo + hi

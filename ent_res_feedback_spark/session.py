@@ -41,6 +41,20 @@ def get_spark(
         # automatic skew-join splitting for the hot-block self-join.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # SIZE-based coalescing, not parallelism-based: AQE's default
+        # parallelism-first mode coalesces every post-shuffle stage to
+        # ~1 partition per core, which quantizes pandas-UDF-heavy stages
+        # (featurization costs ~6.5 s/MB, so a 21 MB task is a ~135 s
+        # straggler; measured in BENCH/ANALYSIS.md "size-based AQE
+        # coalescing"). An 8 MB advisory target splits those stages into
+        # fine equal quanta — straggler loss bounded by one quantum —
+        # while sub-8 MB shuffles (every CC-round stage) still coalesce
+        # to single tasks. The quantum is data-sized, not cluster-sized,
+        # so the same setting holds from local[2] to a 1000-executor
+        # cluster; it also sets the skew-join split granularity.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow batching for every pandas UDF / applyInPandas.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -46,15 +46,19 @@ def get_spark(
         # ~1 partition per core, which quantizes pandas-UDF-heavy stages
         # (featurization costs ~6.5 s/MB, so a 21 MB task is a ~135 s
         # straggler; measured in BENCH/ANALYSIS.md "size-based AQE
-        # coalescing"). An 8 MB advisory target splits those stages into
-        # fine equal quanta — straggler loss bounded by one quantum —
-        # while sub-8 MB shuffles (every CC-round stage) still coalesce
-        # to single tasks. The quantum is data-sized, not cluster-sized,
+        # coalescing"). A small 2 MB advisory target keeps those stages
+        # at fine equal quanta — straggler loss bounded by one quantum —
+        # and leaves the deliberate shuffle-partition sizing alone
+        # (partitions above 2 MB are never merged), while genuinely tiny
+        # shuffles still coalesce. 2 MB beat 8 MB head-to-head in the
+        # 550k-doc probe (8-core arm 45.6s vs 65.6s: at 8 MB the heavy
+        # stage collapsed to 1 task/core, the exact quantization this
+        # setting removes). The quantum is data-sized, not cluster-sized,
         # so the same setting holds from local[2] to a 1000-executor
         # cluster; it also sets the skew-join split granularity.
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
                 "false")
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow batching for every pandas UDF / applyInPandas.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

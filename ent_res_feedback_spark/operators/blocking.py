@@ -46,13 +46,15 @@ def tokenize(col, pattern: str = r"\s+"):
     )
 
 
-def word_shingles(col, n: int = 3):
-    """Distinct word n-gram shingles (JVM-side). Shingling is what keeps
-    MinHash discriminative on low-cardinality vocabularies: unigram token
-    sets collide massively when the vocab is small, n-gram shingle space
-    is vocab^n. Texts shorter than n words yield their full token string
-    as a single shingle."""
-    toks = F.filter(F.split(col, r"\s+"), lambda t: F.length(t) > 0)
+def word_shingles_from_tokens(toks, n: int = 3):
+    """Distinct word n-gram shingles over an ALREADY-MATERIALIZED token
+    array column. ``toks`` must be a bound attribute (the output of a
+    prior projection), not an inline expression: the shingle transform
+    references it ~3x per output element, and Catalyst inlines (and
+    re-evaluates) non-attribute subtrees at every reference — measured
+    43s -> 0.7s on 5k docs when the split/filter moved behind a Project
+    boundary (CollapseProject keeps multi-referenced non-cheap aliases
+    un-collapsed, so the two-step projection is load-bearing)."""
     shingles = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
         lambda i: F.concat_ws(
@@ -63,6 +65,26 @@ def word_shingles(col, n: int = 3):
     return F.array_distinct(
         F.when(F.size(toks) >= n, shingles).otherwise(fallback)
     )
+
+
+def split_tokens(col):
+    """Non-empty whitespace tokens (order/duplicates preserved) — the
+    shared pre-projection for ``word_shingles_from_tokens``."""
+    return F.filter(F.split(col, r"\s+"), lambda t: F.length(t) > 0)
+
+
+def word_shingles(col, n: int = 3):
+    """Distinct word n-gram shingles (JVM-side). Shingling is what keeps
+    MinHash discriminative on low-cardinality vocabularies: unigram token
+    sets collide massively when the vocab is small, n-gram shingle space
+    is vocab^n. Texts shorter than n words yield their full token string
+    as a single shingle.
+
+    PERFORMANCE: only use over a column that is *already* a cheap
+    attribute; for anything derived (normalized text expressions),
+    project ``split_tokens`` first and call
+    ``word_shingles_from_tokens`` — see that function's docstring."""
+    return word_shingles_from_tokens(split_tokens(col), n)
 
 
 def minhash_signatures_df(
@@ -117,13 +139,24 @@ def add_minhash_band_keys(
     Downstream all-pairs within a band key is the LSH candidate set;
     dedup across bands with the canonical (sid1<sid2) + distinct.
     """
-    units = (
-        word_shingles(F.col(text_col), shingle_n)
-        if shingle_n
-        else tokenize(F.col(text_col))
-    )
+    if shingle_n:
+        # two-step projection: materialize the token array BEFORE the
+        # shingle transform (word_shingles_from_tokens docstring — the
+        # inline form re-evaluates the split per element access)
+        units_df = df.select(
+            id_col, split_tokens(F.col(text_col)).alias("_toks")
+        ).select(
+            id_col,
+            word_shingles_from_tokens(F.col("_toks"), shingle_n).alias(
+                "_units"
+            ),
+        )
+    else:
+        units_df = df.select(
+            id_col, tokenize(F.col(text_col)).alias("_units")
+        )
     sigs = minhash_signatures_df(
-        df.select(id_col, units.alias("_units")),
+        units_df,
         id_col,
         F.col("_units"),
         num_bands * rows_per_band,

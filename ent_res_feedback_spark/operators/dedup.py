@@ -18,8 +18,9 @@ from ent_res_feedback_spark.functions import hashing
 from ent_res_feedback_spark.functions.text import normalize_text_ascii, set_jaccard
 from ent_res_feedback_spark.operators.blocking import (
     add_minhash_band_keys,
+    split_tokens,
     tokenize,
-    word_shingles,
+    word_shingles_from_tokens,
 )
 from ent_res_feedback_spark.operators.pairs import within_block_pairs
 
@@ -99,8 +100,15 @@ def minhash_lsh_duplicates(
     over n-gram shingles bounds candidate counts even on low-cardinality
     vocabularies where unigram token sets would all collide."""
     norm = normalize_text_ascii(F.col(text_col))
-    slim = docs.select(F.col(id_col), norm.alias("_norm")).withColumn(
-        "tokens", word_shingles(F.col("_norm"), shingle_n)
+    # two-step projection: tokens materialized before the shingle
+    # transform (see word_shingles_from_tokens) — the inline form
+    # re-evaluated the split per element and dominated this operator
+    slim = docs.select(F.col(id_col), norm.alias("_norm")).select(
+        F.col(id_col), "_norm", split_tokens(F.col("_norm")).alias("_toks")
+    ).select(
+        F.col(id_col),
+        "_norm",
+        word_shingles_from_tokens(F.col("_toks"), shingle_n).alias("tokens"),
     )
     banded = add_minhash_band_keys(
         slim, "_norm", num_bands=num_bands, rows_per_band=rows_per_band,

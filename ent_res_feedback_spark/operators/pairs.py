@@ -86,34 +86,51 @@ def within_block_pairs(
             F.col(id_col + "_1") < F.col(id_col + "_2")
         )
 
-    hot_keys = census.where(F.col("block_size") > salt_threshold).select(key)
-    cold = df.join(F.broadcast(hot_keys), key, "left_anti")
-    hot = df.join(F.broadcast(hot_keys), key, "inner")
-
-    cold_pairs = _suffix(cold, "_1", key).join(_suffix(cold, "_2", key), key).where(
-        F.col(id_col + "_1") < F.col(id_col + "_2")
-    )
-
+    # UNIFIED salt path (round-6): cold blocks are just hot blocks with
+    # ONE salt bucket, so both take the same exploded self-join — a cold
+    # row sits in bucket 0 and covers only bucket-pair (0, 0), where the
+    # (_p != _q) | (id1 < id2) predicate degenerates to the plain-path
+    # id1 < id2. The former cold/hot split built four separate join
+    # branches whose sides each re-derived the input AND the census: the
+    # physical plan scanned the source 8x and aggregated the census 4x
+    # per pair frame (plans/r06/er_pair_scores_before.txt). One branch =
+    # 2 input scans + 1 census, and at 100 TB that is 6 fewer full-table
+    # passes, not just fewer stages.
     s = num_salt_buckets
-    bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(s)).cast("int")
-    hb = hot.withColumn("_b", bucket)
-    # Left role: row in bucket b covers bucket-pairs (p=b, q=b..s-1).
+    hot_keys = census.where(F.col("block_size") > salt_threshold).select(
+        key, F.lit(True).alias("_hot")
+    )
+    flagged = df.join(F.broadcast(hot_keys), key, "left")
+    is_hot = F.col("_hot").isNotNull()
+    bucket = F.when(
+        is_hot, F.pmod(F.xxhash64(F.col(id_col)), F.lit(s)).cast("int")
+    ).otherwise(F.lit(0))
+    hb = flagged.withColumn("_b", bucket).withColumn(
+        "_hi", F.when(is_hot, F.lit(s - 1)).otherwise(F.lit(0))
+    ).drop("_hot")
+    # Left role: row in bucket b covers bucket-pairs (p=b, q=b.._hi).
     left = _suffix(
-        hb.select("*", F.explode(F.sequence(F.col("_b"), F.lit(s - 1))).alias("_q"))
-        .withColumnRenamed("_b", "_p"),
+        hb.select(
+            "*", F.explode(F.sequence(F.col("_b"), F.col("_hi"))).alias("_q")
+        )
+        .withColumnRenamed("_b", "_p")
+        .drop("_hi"),
         "_1",
         key,
         extra=["_p", "_q"],
     )
     # Right role: row in bucket b covers bucket-pairs (p=0..b, q=b).
     right = _suffix(
-        hb.select("*", F.explode(F.sequence(F.lit(0), F.col("_b"))).alias("_p"))
-        .withColumnRenamed("_b", "_q"),
+        hb.select(
+            "*", F.explode(F.sequence(F.lit(0), F.col("_b"))).alias("_p")
+        )
+        .withColumnRenamed("_b", "_q")
+        .drop("_hi"),
         "_2",
         key,
         extra=["_p", "_q"],
     )
-    hot_pairs = (
+    pairs = (
         left.join(right, [key, "_p", "_q"])
         .where(
             # same bucket: dedupe with id order; cross bucket: each
@@ -123,12 +140,11 @@ def within_block_pairs(
         )
         .drop("_p", "_q")
     )
-    # Cross-bucket pairs may arrive id-unordered; canonicalize.
-    hot_pairs = _canonical(hot_pairs, id_col)
-    # drop self-pairs that canonicalization can't create but cross-bucket
-    # join can't either (ids are unique); keep a cheap guard anyway
-    hot_pairs = hot_pairs.where(F.col(id_col + "_1") != F.col(id_col + "_2"))
-    return cold_pairs.unionByName(hot_pairs)
+    # Cross-bucket pairs may arrive id-unordered; canonicalize (a no-op
+    # for same-bucket and cold pairs, which are id-ordered already).
+    pairs = _canonical(pairs, id_col)
+    # ids are unique so self-pairs cannot occur; keep a cheap guard
+    return pairs.where(F.col(id_col + "_1") != F.col(id_col + "_2"))
 
 
 def candidate_pairs_from_band_keys(

@@ -176,11 +176,74 @@ class CheckpointStore:
                 shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
 
 
+def _finish_components(edges: DataFrame) -> DataFrame:
+    """Exact CC of a SMALL (census-bounded) edge frame in ONE task: the
+    round-6 'per-block finish' — once the surviving edge set is below
+    ``finish_edge_threshold`` the iterative large/small-star loop costs
+    more in fixed per-super-step driver planning + stage barriers than
+    the whole remaining graph costs to solve outright (measured ~60s of
+    fixed driver tail in the scaling protocol, BENCH/ANALYSIS.md).
+
+    ``coalesce(1)`` (narrow — the input is already materialized) streams
+    every edge into one ``mapInPandas`` task; components are solved with
+    a vectorized Shiloach-Vishkin union-find (numpy min-hooking +
+    pointer shortcutting, O(E log V) with no per-edge Python loop), and
+    labels are the per-component MIN id — identical to the star loop's
+    fixpoint labeling. Memory is bounded by the threshold (~16 bytes per
+    edge at the 5M default).
+    """
+    import numpy as np
+    import pandas as pd
+
+    src_t = edges.schema["src"].dataType.simpleString()
+    out_schema = f"id {src_t}, component {src_t}"
+
+    def kernel(batches):
+        srcs, dsts = [], []
+        for pdf in batches:
+            if len(pdf):
+                srcs.append(pdf["src"])
+                dsts.append(pdf["dst"])
+        if not srcs:
+            return
+        src = pd.concat(srcs, ignore_index=True)
+        dst = pd.concat(dsts, ignore_index=True)
+        codes, uniques = pd.factorize(
+            pd.concat([src, dst], ignore_index=True)
+        )
+        m = len(src)
+        n = len(uniques)
+        a, b = codes[:m], codes[m:]
+        parent = np.arange(n, dtype=np.int64)
+        while True:
+            pa, pb = parent[a], parent[b]
+            hi = np.maximum(pa, pb)
+            lo = np.minimum(pa, pb)
+            np.minimum.at(parent, hi, lo)
+            while True:  # full pointer shortcut
+                pp = parent[parent]
+                if np.array_equal(pp, parent):
+                    break
+                parent = pp
+            if np.array_equal(parent[a], parent[b]):
+                break
+        # component label = min member id (uniques is appearance-ordered,
+        # so group the actual ids by root and take the min)
+        vals = pd.Series(uniques)
+        comp = vals.groupby(parent).transform("min")
+        yield pd.DataFrame({"id": vals, "component": comp})
+
+    return edges.select("src", "dst").coalesce(1).mapInPandas(
+        kernel, out_schema
+    )
+
+
 def connected_components(
     edges: DataFrame,
     checkpoint_dir: str | None = None,
     max_iterations: int = 50,
     checkpoint_interval: int = 1,
+    finish_edge_threshold: int | None = 5_000_000,
 ) -> DataFrame:
     """Compute connected components of an undirected edge list
     (columns ``src``, ``dst``) -> assignments ``(id, component)`` where
@@ -210,6 +273,20 @@ def connected_components(
     unrolled plan depth outweighs doubling the (cheap, Observation-
     riding) checkpoint actions. k=4 is structurally unsafe (driver OOM
     rendering the ~6,561-copy plan at bench scale).
+
+    ``finish_edge_threshold`` (round-6): once the current edge set —
+    input or any super-step survivor — is at or below this count, the
+    remaining components are solved exactly in ONE task
+    (``_finish_components``) instead of iterating more star rounds.
+    Star rounds preserve the node set and component structure, so the
+    result is identical at whatever point the switch happens
+    (property-tested); what changes is the cost model — the star loop's
+    per-super-step driver planning + ~10 AQE stage jobs are a FIXED tail
+    that dominates once the data no longer does (the measured ~60s
+    scaling-protocol tail, BENCH/ANALYSIS.md). The default (5M edges ~
+    80 MB of task state) is data-sized, not cluster-sized: a 10^12-edge
+    graph still iterates star rounds until the survivor set is bounded,
+    then finishes. ``None`` disables.
     """
     spark = edges.sparkSession
     store = CheckpointStore(spark, checkpoint_dir) if checkpoint_dir else None
@@ -221,6 +298,7 @@ def connected_components(
 
     start_iter = 0
     prev_sum: tuple[int, int] | None = None
+    n_cur: int | None = None  # current edge count (early-finish gate)
     if store is not None:
         latest = store.latest()
         if latest is not None:
@@ -240,14 +318,34 @@ def connected_components(
                 prev_sum = (
                     (latest["n"], latest["h"]) if "n" in latest else None
                 )
+                n_cur = latest.get("n")
             else:
                 store.reset()
                 latest = None
         if latest is None:
-            cur, _, _ = store.write(cur, -1)  # iter -1 = canonicalized input
+            # iter -1 = canonicalized input
+            cur, n_cur, _ = store.write(cur, -1)
             start_iter = 0
     else:
-        cur = cur.localCheckpoint()
+        observed, obs = _observe_checksum(cur)
+        cur = observed.localCheckpoint()
+        n_cur = int(obs.get["n"])
+
+    # Early finish: star rounds preserve the node set and the component
+    # structure, so an exact one-task union-find over the CURRENT edge
+    # set yields the identical (id, min-id component) assignment at any
+    # point — take it as soon as the edge count is bounded instead of
+    # paying per-super-step fixed driver costs (threshold-invariance is
+    # property-tested in tests/test_cc.py).
+    def _small_enough(n: int | None) -> bool:
+        return (
+            finish_edge_threshold is not None
+            and n is not None
+            and n <= finish_edge_threshold
+        )
+
+    if _small_enough(n_cur):
+        return _finish_components(cur)
 
     for i in range(start_iter, max_iterations):
         nxt = cur
@@ -265,6 +363,8 @@ def connected_components(
             break
         prev_sum = (n, h)
         cur = nxt
+        if _small_enough(n):
+            return _finish_components(cur)
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} iterations"

@@ -32,7 +32,13 @@ def _oracle_components(edges, nodes):
 
 
 @pytest.mark.parametrize("seed,n,m", [(1, 50, 40), (2, 200, 150), (3, 120, 300)])
-def test_cc_matches_union_find(spark, seed, n, m):
+@pytest.mark.parametrize("threshold", [None, 5_000_000, 60])
+def test_cc_matches_union_find(spark, seed, n, m, threshold):
+    """All three cost regimes must agree with the union-find oracle:
+    threshold=None (pure star loop), 5M (immediate one-task finish), and
+    60 (star rounds first, early finish once the survivor set shrinks
+    below 60 mid-loop) — the early-finish switch point must never change
+    the assignment."""
     rng = random.Random(seed)
     nodes = list(range(n))
     edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
@@ -40,7 +46,9 @@ def test_cc_matches_union_find(spark, seed, n, m):
     edf = spark.createDataFrame(edges, "src long, dst long")
     got = {
         r["id"]: r["component"]
-        for r in connected_components(edf).collect()
+        for r in connected_components(
+            edf, finish_edge_threshold=threshold
+        ).collect()
     }
     want = _oracle_components(edges, nodes)
     touched = {x for e in edges for x in e}
@@ -73,14 +81,20 @@ def test_checkpoint_resume_identical(spark, tmp_path):
     edf = spark.createDataFrame(edges, "src long, dst long").where("src != dst")
 
     full_dir = str(tmp_path / "full")
+    # finish_edge_threshold=None: exercise the iterative store path (the
+    # default early-finishes small graphs before any iteration lands)
     full = {
         r["id"]: r["component"]
-        for r in connected_components(edf, checkpoint_dir=full_dir).collect()
+        for r in connected_components(
+            edf, checkpoint_dir=full_dir, finish_edge_threshold=None
+        ).collect()
     }
 
     # fresh run, interrupted after iteration 0: keep iter=-1 and iter=0 only
     crash_dir = str(tmp_path / "crash")
-    connected_components(edf, checkpoint_dir=crash_dir)
+    connected_components(
+        edf, checkpoint_dir=crash_dir, finish_edge_threshold=None
+    )
     store = CheckpointStore(spark, crash_dir)
     manifest = store._read_manifest()
     manifest["iterations"] = [it for it in manifest["iterations"] if it["iter"] <= 0]
@@ -91,9 +105,19 @@ def test_checkpoint_resume_identical(spark, tmp_path):
 
     resumed = {
         r["id"]: r["component"]
-        for r in connected_components(edf, checkpoint_dir=crash_dir).collect()
+        for r in connected_components(
+            edf, checkpoint_dir=crash_dir, finish_edge_threshold=None
+        ).collect()
     }
     assert resumed == full
+
+    # and the default config must agree when resuming the same store
+    # (early finish from the latest complete iteration)
+    resumed_default = {
+        r["id"]: r["component"]
+        for r in connected_components(edf, checkpoint_dir=crash_dir).collect()
+    }
+    assert resumed_default == full
 
 
 def test_cc_path_graph_converges(spark):
@@ -128,10 +152,14 @@ def test_cc_checkpoint_interval_invariance(spark, k):
     edf = spark.createDataFrame(edges, "src long, dst long")
     base = {
         r["id"]: r["component"]
-        for r in connected_components(edf).collect()  # default k=1
+        for r in connected_components(
+            edf, finish_edge_threshold=None
+        ).collect()  # k=1, star loop to fixpoint
     }
     got = {
         r["id"]: r["component"]
-        for r in connected_components(edf, checkpoint_interval=k).collect()
+        for r in connected_components(
+            edf, checkpoint_interval=k, finish_edge_threshold=None
+        ).collect()
     }
     assert got == base

@@ -52,13 +52,31 @@ def _block_sql(col: str) -> str:
     )
 
 
+def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a driver-provided parquet table with a tiny-input guard: a
+    single small file (one row group) pins the scan — and every narrow
+    stage above it — to ONE task, serializing the normalize/explode
+    pipelines on one core of the whole cluster (guide §2.5 "input skew
+    ... repartition immediately after the read"). Fan out ONLY in the
+    pathological <=2-split case, so the guard is a no-op on any real
+    table (at scale the scan yields thousands of splits) and its cost is
+    bounded by 2 x maxPartitionBytes when it does fire. The TPC-H
+    queries deliberately keep plain reads: their pipelines are
+    scan-bound joins/aggregations with no heavy narrow compute, and the
+    guard's extra exchange measured a ~40% regression on tpch_q3."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if df.rdd.getNumPartitions() <= 2:
+        df = df.repartition(spark.sparkContext.defaultParallelism * 2)
+    return df
+
+
 def _docs_with_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ent_res_feedback_spark.functions.text import (
         compute_block_key,
         normalize_text_ascii,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_table(spark, sf_dir, "documents")
     norm = normalize_text_ascii(F.col("text"))
     return docs.select(
         "doc_id",
@@ -433,7 +451,7 @@ def _er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst")
     )
     assignments = connected_components(edges)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = _read_table(spark, sf_dir, "documents").select("doc_id")
     return components_with_singletons(assignments, docs, "doc_id").withColumnRenamed(
         "component", "cluster_id"
     )
@@ -502,7 +520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_dedup_exact(spark, sf_dir):
         from ent_res_feedback_spark.operators.dedup import exact_duplicates
 
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = _read_table(spark, sf_dir, "documents")
         return exact_duplicates(docs).select(
             "fingerprint",
             F.col("survivor_id").cast("bigint").alias("survivor_id"),
@@ -513,7 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from ent_res_feedback_spark.functions.hashing import doc_fingerprint
         from ent_res_feedback_spark.functions.text import normalize_text_ascii
 
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = _read_table(spark, sf_dir, "documents")
         return docs.select(
             "doc_id", doc_fingerprint(normalize_text_ascii(F.col("text"))).alias("fingerprint")
         )
@@ -522,7 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from ent_res_feedback_spark.operators.blocking import add_minhash_band_keys
         from ent_res_feedback_spark.functions.text import normalize_text_ascii
 
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        docs = _read_table(spark, sf_dir, "documents").select(
             "doc_id", normalize_text_ascii(F.col("text")).alias("norm_text")
         )
         return add_minhash_band_keys(
@@ -532,7 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_dedup_near_jaccard(spark, sf_dir):
         from ent_res_feedback_spark.operators.dedup import minhash_lsh_duplicates
 
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = _read_table(spark, sf_dir, "documents")
         out = minhash_lsh_duplicates(
             docs, num_bands=4, rows_per_band=4, verify_threshold=0.7, seed=42,
             shingle_n=3,
@@ -550,7 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             token_count,
         )
 
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = _read_table(spark, sf_dir, "documents")
         t = F.col("text")
         return docs.select(
             "doc_id",
@@ -562,7 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_lang_id(spark, sf_dir):
         from ent_res_feedback_spark.operators.textstats import language_id
 
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = _read_table(spark, sf_dir, "documents")
         lid = language_id(F.col("text"))
         return docs.select(
             "doc_id",
@@ -612,7 +630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from ent_res_feedback_spark.functions.text import normalize_text_ascii
         from ent_res_feedback_spark.operators.blocking import tokenize
 
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = _read_table(spark, sf_dir, "documents")
         toks = tokenize(normalize_text_ascii(F.col("text")))
         return docs.select(
             "doc_id", simhash64(toks).cast("bigint").alias("simhash")
@@ -624,7 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from ent_res_feedback_spark.functions.hashing import winnowing_fingerprints
         from ent_res_feedback_spark.functions.text import normalize_text_ascii
 
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = _read_table(spark, sf_dir, "documents")
         fps = winnowing_fingerprints(normalize_text_ascii(F.col("text")))
         return docs.select(
             "doc_id", F.explode(fps).alias("fp")
@@ -636,7 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         DuckDB replays scoring exactly."""
         from ent_res_feedback_spark.operators.langid import detect_language_profile
 
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = _read_table(spark, sf_dir, "documents")
         det = detect_language_profile(F.col("text"))
         return docs.select(
             "doc_id",
@@ -692,7 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         literals, so DuckDB replays the whole thing hash-exactly."""
         from ent_res_feedback_spark.operators.similarity import ann_topk_lsh
 
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        emb = _read_table(spark, sf_dir, "embeddings")
         out = ann_topk_lsh(
             emb, k=3, num_planes=4, num_tables=4, dim=64, seed=42
         )
@@ -709,7 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pipeline is DuckDB-replayable."""
         from ent_res_feedback_spark.operators.similarity import ivf_topk
 
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        emb = _read_table(spark, sf_dir, "embeddings")
         out = ivf_topk(emb, k=3, n_centroids=16, n_probe=4)
         return out.select(
             F.col("id").cast("bigint").alias("vec_id"),
@@ -726,7 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             embedding_cosine_duplicates,
         )
 
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        emb = _read_table(spark, sf_dir, "embeddings")
         out = embedding_cosine_duplicates(
             emb, threshold=0.4, num_planes=2, num_tables=8, dim=64, seed=42
         )
@@ -739,7 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_ann_topk(spark, sf_dir):
         from ent_res_feedback_spark.operators.similarity import brute_force_topk
 
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        emb = _read_table(spark, sf_dir, "embeddings")
         out = brute_force_topk(emb, k=3)
         return out.select(
             F.col("id").cast("bigint").alias("vec_id"),
@@ -752,7 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Per-label centroid cosine via posexplode + groupBy(label, dim)
         — dimension-agnostic (no driver .first() to sniff dim, no n_dim
         separate aggs; same long shape its DuckDB oracle uses)."""
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        emb = _read_table(spark, sf_dir, "embeddings")
         exploded = emb.select(
             "vec_id", "label", F.posexplode("embedding").alias("i", "x")
         ).withColumn("x", F.col("x").cast("double"))
@@ -913,7 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             media_from_table,
         )
 
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        docs = _read_table(spark, sf_dir, "documents").select(
             F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_ref")
         )
         return features_long(extract_media_features(media_from_table(docs)))
@@ -1078,7 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         scores = _er_pair_scores(spark, sf_dir)
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+        docs = _read_table(spark, sf_dir, "documents").select("doc_id")
         pred = threshold_sweep_components(scores, SWEEP_TAUS, docs)
         gold = _gold_block_clusters(spark, sf_dir)
         j = pred.join(
@@ -1129,7 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             normalize_text_ascii,
         )
 
-        raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        raw = _read_table(spark, sf_dir, "documents")
         docs = raw.select(
             "doc_id",
             "source",

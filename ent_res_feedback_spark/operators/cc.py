@@ -466,7 +466,14 @@ def threshold_sweep_components(
             )
         return pd.concat(frames, ignore_index=True)
 
-    slim = scored_pairs.select(block_col, id1, id2, score_col)
+    # slim is referenced TWICE (sweep kernel + pair membership); without
+    # a materialization the whole upstream featurization subtree runs
+    # twice — at scale, two full passes over the corpus for one sweep.
+    # localCheckpoint materializes the O(pairs) projection once (the
+    # same order of bytes the block shuffle moves next).
+    slim = scored_pairs.select(
+        block_col, id1, id2, score_col
+    ).localCheckpoint()
     in_pairs = slim.groupBy(block_col).applyInPandas(one_block, out_schema)
     # pair membership from the CHEAP pair frame, not from in_pairs —
     # referencing in_pairs twice would run the sweep kernel twice

@@ -34,6 +34,13 @@ def get_spark(
         n = cores if cores else (os.cpu_count() or 8)
         shuffle_partitions = max(2 * n, 32)
 
+    # NOTE (round-6, measured): a custom preloading Python-worker daemon
+    # (spark.python.daemon.module importing numpy/pandas pre-fork) was
+    # probed and REVERTED — the session's first Arrow stage costs ~4s
+    # even with a single task (JVM-side runner/daemon init, and module
+    # imports amortize through the OS page cache across workers), so the
+    # preload bought nothing while adding a failure surface.
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)

@@ -46,17 +46,14 @@ def derive_facets(
       — np.round(count/denominator, 2) when count > 0, else 0
       (eval.py:388-397)
     """
+    from pyspark.sql import Window
+
     sig = signatures.select(
         F.col(id_col).alias("_id"),
         F.col(block_col).alias("_b"),
         F.col(name_col).alias("_n"),
         F.col(cluster_col).alias("_c"),
     )
-    by_b = sig.groupBy("_b").agg(F.count("*").alias("block_size"))
-    by_bn = sig.groupBy("_b", "_n").agg(F.count("*").alias("_cnt_bn"))
-    by_bc = sig.groupBy("_b", "_c").agg(F.count("*").alias("_cnt_bc"))
-    by_bnc = sig.groupBy("_b", "_n", "_c").agg(F.count("*").alias("_cnt_bnc"))
-    by_c = sig.groupBy("_c").agg(F.count("*").alias("cluster_size"))
 
     def frac(count: Column, denom: Column) -> Column:
         # reference: bucket only when the count is positive, else literal 0
@@ -64,12 +61,23 @@ def derive_facets(
             count > 0, F.bround(count.cast("double") / denom, 2)
         ).otherwise(F.lit(0.0))
 
-    out = (
-        sig.join(by_b, "_b")
-        .join(by_bn, ["_b", "_n"])
-        .join(by_bc, ["_b", "_c"])
-        .join(by_bnc, ["_b", "_n", "_c"])
-        .join(by_c, "_c")
+    # Window counts instead of five groupBys + five join-backs: the
+    # former shape referenced ``sig`` six times, re-running the whole
+    # upstream pipeline (block/cluster derivation) per reference. Counts
+    # over whole-partition windows are the identical integers from ONE
+    # evaluation of ``sig`` in two exchanges: hash(_b) clusters every
+    # _b-prefixed key set — (_b), (_b,_n), (_b,_c), (_b,_n,_c) — so all
+    # four share the first; (_c) takes the second.
+    cnt = lambda *cols: F.count(F.lit(1)).over(  # noqa: E731
+        Window.partitionBy(*cols)
+    )
+    out = sig.select(
+        "*",
+        cnt("_b").alias("block_size"),
+        cnt("_b", "_n").alias("_cnt_bn"),
+        cnt("_b", "_c").alias("_cnt_bc"),
+        cnt("_b", "_n", "_c").alias("_cnt_bnc"),
+        cnt("_c").alias("cluster_size"),
     )
     h_cnt = F.col("_cnt_bn") - F.col("_cnt_bnc")
     s_cnt = F.col("_cnt_bc") - F.col("_cnt_bnc")

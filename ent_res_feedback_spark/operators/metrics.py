@@ -50,21 +50,23 @@ def b3_per_item(
     recall_i = |P∩G|/|G| — the exact quotients that ``b3`` and
     ``facet_eval`` average. Contingency + size joins only; every join is
     on a cluster key, no pair materialization."""
+    from pyspark.sql import Window
+
     p = pred.select(F.col(id_col).alias("id"), F.col("cluster_id").alias("pc"))
     g = gold.select(F.col(id_col).alias("id"), F.col("cluster_id").alias("gc"))
     j = p.join(g, "id")
-    cont = j.groupBy("pc", "gc").count().withColumnRenamed("count", "npg")
-    psize = j.groupBy("pc").count().withColumnRenamed("count", "np")
-    gsize = j.groupBy("gc").count().withColumnRenamed("count", "ng")
-    return (
-        j.join(cont, ["pc", "gc"])
-        .join(psize, "pc")
-        .join(gsize, "gc")
-        .select(
-            "id",
-            (F.col("npg") / F.col("np")).alias("p_i"),
-            (F.col("npg") / F.col("ng")).alias("r_i"),
-        )
+    # Window counts instead of groupBy + join-back: the former shape
+    # referenced ``j`` four times, re-running the whole upstream pipeline
+    # (pred is typically a full clustering) per reference. Counts over
+    # whole-partition windows are the identical integers, computed from
+    # ONE evaluation of ``j`` in two exchanges — hash(pc) serves both the
+    # (pc) and (pc, gc) windows (it clusters either key set), hash(gc)
+    # serves the third.
+    npg = F.count(F.lit(1)).over(Window.partitionBy("pc", "gc"))
+    np_ = F.count(F.lit(1)).over(Window.partitionBy("pc"))
+    ng = F.count(F.lit(1)).over(Window.partitionBy("gc"))
+    return j.select(
+        "id", (npg / np_).alias("p_i"), (npg / ng).alias("r_i")
     )
 
 

@@ -24,7 +24,8 @@ def get_spark(
     Parameters
     ----------
     cores: local parallelism (``local[cores]``); default ``local[*]``.
-        The bench harness passes 8 vs 32 to measure scaling efficiency.
+        The scaling protocol (BENCH/BASELINE.md) runs interleaved
+        local[2] vs local[8] pairs on disjoint pinned cores.
     shuffle_partitions: defaults to ``max(2 * cores, 32)`` — at cluster
         scale this would instead be sized to total executor cores; AQE
         coalesces small post-shuffle partitions either way.

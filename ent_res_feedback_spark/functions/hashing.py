@@ -52,23 +52,30 @@ def minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
 def minhash_signature(tokens: Column, num_hashes: int, seed: int = 42) -> Column:
     """MinHash signature (array<long>) over a distinct-token array column.
 
-    100% JVM-side: one md5 per token (computed once), then ``num_hashes``
-    transform+array_min passes. Empty token arrays -> NULL signature.
-    Identical values are expressible in DuckDB (see sql_minhash_expr).
+    100% JVM-side: one md5 per token (computed once — the hashed-token
+    array is let-bound, round-6; referencing the transform directly in
+    the ``num_hashes`` array_min passes re-ran every token md5 per
+    permutation, a 16x overhash at the default width), then
+    ``num_hashes`` transform+array_min passes. Empty token arrays ->
+    NULL signature. Identical values are expressible in DuckDB (see
+    sql_minhash_expr).
     """
-    hashed = F.transform(F.array_distinct(tokens), token_hash32)
+    from ent_res_feedback_spark.functions.expr import let
 
     def _perm(a: int, b: int):
         # closure factory: a single-arg lambda (PySpark dispatches
         # higher-order-function arity on the Python signature)
         return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE61))
 
-    sig = F.array(
-        *[
-            F.array_min(F.transform(hashed, _perm(a, b)))
-            for a, b in minhash_params(num_hashes, seed)
-        ]
-    )
+    def sig_of(hashed):
+        return F.array(
+            *[
+                F.array_min(F.transform(hashed, _perm(a, b)))
+                for a, b in minhash_params(num_hashes, seed)
+            ]
+        )
+
+    sig = let(F.transform(F.array_distinct(tokens), token_hash32), sig_of)
     return F.when(F.size(tokens) > 0, sig)
 
 
@@ -148,24 +155,18 @@ def winnowing_fingerprints(
     fingerprint as the single min over whatever k-grams exist (or empty).
     Selecting min VALUES (not positions) makes tie-handling trivially
     deterministic; position-aware robust winnowing adds nothing when only
-    the fingerprint set is compared."""
-    n = F.length(text_col)
-    n_grams = n - (k - 1)
-    empty = F.array().cast("array<long>")
-    gram_hashes = F.when(
-        n_grams >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
-            lambda i: F.conv(
-                F.substring(F.md5(text_col.substr(i, F.lit(k))), 1, 8), 16, 10
-            ).cast("long"),
-        ),
-    ).otherwise(empty)
+    the fingerprint set is compared.
 
-    # let-binding via a 1-element HOF: the gram array is EVALUATED ONCE per
-    # row and bound to the lambda variable — referencing the expression
-    # directly inside the window transform would recompute every k-gram
-    # md5 per window (O(n^2) hashes per row)
+    BOTH the text and the gram array are let-bound (``expr.let``): the
+    caller passes a normalization chain, and referencing it inside the
+    per-gram lambda re-ran the whole chain per k-gram (O(n) regexp
+    passes per row — measured 53s for 5k docs at sf0.1); the gram array
+    likewise must not be re-hashed per window. Round-6: 53s -> sub-second,
+    values unchanged."""
+    from ent_res_feedback_spark.functions.expr import let
+
+    empty = F.array().cast("array<long>")
+
     def select_mins(g):
         nw = F.size(g) - (w - 1)
         return F.when(
@@ -178,8 +179,21 @@ def winnowing_fingerprints(
             F.when(F.size(g) >= 1, F.array(F.array_min(g))).otherwise(empty)
         )
 
-    selected = F.get(F.transform(F.array(gram_hashes), select_mins), 0)
-    return F.array_sort(F.array_distinct(selected))
+    def fingerprints_of(t):
+        n_grams = F.length(t) - (k - 1)
+        gram_hashes = F.when(
+            n_grams >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+                lambda i: F.conv(
+                    F.substring(F.md5(t.substr(i, F.lit(k))), 1, 8), 16, 10
+                ).cast("long"),
+            ),
+        ).otherwise(empty)
+        selected = let(gram_hashes, select_mins)
+        return F.array_sort(F.array_distinct(selected))
+
+    return let(text_col, fingerprints_of)
 
 
 def sql_winnowing_query(

@@ -91,13 +91,28 @@ PROFILES: dict[str, dict[str, int]] = {
 
 
 def _trigrams(text: Column) -> Column:
-    """Padded lowercase character trigrams as an array column (JVM)."""
-    t = F.concat(F.lit(" "), F.lower(F.regexp_replace(text, r"\s+", " ")), F.lit(" "))
-    n = F.length(t)
-    return F.when(
-        n >= 3,
-        F.transform(F.sequence(F.lit(1), n - 2), lambda i: t.substr(i, F.lit(3))),
-    ).otherwise(F.array().cast("array<string>"))
+    """Padded lowercase character trigrams as an array column (JVM).
+
+    The padded/lowered text is let-bound (``expr.let``): referencing the
+    regexp_replace chain inside the per-position lambda re-ran it per
+    trigram (O(n) regexp passes per row)."""
+    from ent_res_feedback_spark.functions.expr import let
+
+    def tri_of(t):
+        n = F.length(t)
+        return F.when(
+            n >= 3,
+            F.transform(
+                F.sequence(F.lit(1), n - 2), lambda i: t.substr(i, F.lit(3))
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return let(
+        F.concat(
+            F.lit(" "), F.lower(F.regexp_replace(text, r"\s+", " ")), F.lit(" ")
+        ),
+        tri_of,
+    )
 
 
 def _lang_score(trigrams: Column, profile: dict[str, int]) -> Column:
@@ -122,28 +137,42 @@ def detect_language_profile(
     score). ``lang`` is the arg-max language; reliability requires the
     winning normalized score >= min_score AND a margin over the runner-up
     >= min_margin (the ensemble-agreement analog of the reference's
-    fasttext-vs-cld2 check, s2and/text.py:266-309)."""
-    tris = _trigrams(text)
-    scored = [(lang, _lang_score(tris, prof)) for lang, prof in PROFILES.items()]
-    # arg-max via sort over (score, lang) structs — struct order compares
-    # score first, lang breaking exact ties deterministically
-    ranked = F.sort_array(
-        F.array(
-            *[
-                F.struct(s.alias("score"), F.lit(lang).alias("lang"))
-                for lang, s in scored
-            ]
-        ),
-        asc=False,
-    )
-    best, runner_up = ranked[0], ranked[1]
-    is_reliable = (best["score"] >= min_score) & (
-        (best["score"] - runner_up["score"]) >= min_margin
-    )
-    lang = F.when(is_reliable, best["lang"]).otherwise(F.lit("un"))
-    return F.struct(
-        is_reliable.alias("is_reliable"),
-        (lang == "en").alias("is_english"),
-        lang.alias("lang"),
-        F.round(best["score"], 6).alias("score"),
-    )
+    fasttext-vs-cld2 check, s2and/text.py:266-309).
+
+    The trigram array is let-bound (``expr.let``) and the ranked score
+    array likewise: each of the 5 per-language scores aggregates over
+    the trigrams, so an unbound array re-materialized ~10x per row
+    (and each rebuild re-ran the regexp chain per element — measured 9s
+    for 5k docs at sf0.1, now sub-second; values unchanged)."""
+    from ent_res_feedback_spark.functions.expr import let
+
+    def classify(tris):
+        scored = [
+            (lang, _lang_score(tris, prof)) for lang, prof in PROFILES.items()
+        ]
+        # arg-max via sort over (score, lang) structs — struct order
+        # compares score first, lang breaking exact ties deterministically
+        return F.sort_array(
+            F.array(
+                *[
+                    F.struct(s.alias("score"), F.lit(lang).alias("lang"))
+                    for lang, s in scored
+                ]
+            ),
+            asc=False,
+        )
+
+    def verdict(ranked):
+        best, runner_up = ranked[0], ranked[1]
+        is_reliable = (best["score"] >= min_score) & (
+            (best["score"] - runner_up["score"]) >= min_margin
+        )
+        lang = F.when(is_reliable, best["lang"]).otherwise(F.lit("un"))
+        return F.struct(
+            is_reliable.alias("is_reliable"),
+            (lang == "en").alias("is_english"),
+            lang.alias("lang"),
+            F.round(best["score"], 6).alias("score"),
+        )
+
+    return let(let(_trigrams(text), classify), verdict)

@@ -50,15 +50,27 @@ def bpe_ish_token_count(text: Column) -> Column:
 
 
 def stopword_ratio(text: Column) -> Column:
-    toks = tokens_col(F.lower(text))
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*sorted(STOPWORDS))))
-    return F.when(F.size(toks) > 0, n_stop / F.size(toks)).otherwise(F.lit(0.0))
+    # token array let-bound: it is referenced 3x (filter + 2x size), and
+    # unbound each reference re-split the text (round-6, expr.let)
+    from ent_res_feedback_spark.functions.expr import let
+
+    def ratio_of(toks):
+        n_stop = F.size(F.filter(toks, lambda t: t.isin(*sorted(STOPWORDS))))
+        return F.when(
+            F.size(toks) > 0, n_stop / F.size(toks)
+        ).otherwise(F.lit(0.0))
+
+    return let(tokens_col(F.lower(text)), ratio_of)
 
 
 def english_marker_ratio(text: Column) -> Column:
-    toks = tokens_col(F.lower(text))
-    n = F.size(F.filter(toks, lambda t: t.isin(*_EN_MARKERS)))
-    return F.when(F.size(toks) > 0, n / F.size(toks)).otherwise(F.lit(0.0))
+    from ent_res_feedback_spark.functions.expr import let
+
+    def ratio_of(toks):
+        n = F.size(F.filter(toks, lambda t: t.isin(*_EN_MARKERS)))
+        return F.when(F.size(toks) > 0, n / F.size(toks)).otherwise(F.lit(0.0))
+
+    return let(tokens_col(F.lower(text)), ratio_of)
 
 
 def language_id(text: Column) -> Column:
@@ -81,17 +93,33 @@ def quality_score(text: Column) -> Column:
     """Document quality score in [0,1]: blend of length, alpha ratio,
     mean word length sanity, and stopword presence — the standard cheap
     pretraining-quality heuristics, as one column expression."""
+    from ent_res_feedback_spark.functions.expr import let
+
     n_chars = F.length(text)
     alpha_ratio = F.when(
         n_chars > 0,
         F.length(F.regexp_replace(text, r"[^a-zA-Z\s]", "")) / n_chars,
     ).otherwise(F.lit(0.0))
-    toks = tokens_col(text)
-    mean_wl = F.when(F.size(toks) > 0, n_chars / F.size(toks)).otherwise(F.lit(0.0))
-    wl_ok = F.when((mean_wl >= 3) & (mean_wl <= 12), F.lit(1.0)).otherwise(F.lit(0.0))
+
+    # token count let-bound: mean_wl references it twice and the unbound
+    # form re-split the text per reference (round-6, expr.let)
+    def wl_ok_of(n_toks):
+        mean_wl = F.when(
+            n_toks > 0, n_chars / n_toks
+        ).otherwise(F.lit(0.0))
+        return F.when(
+            (mean_wl >= 3) & (mean_wl <= 12), F.lit(1.0)
+        ).otherwise(F.lit(0.0))
+
+    wl_ok = let(F.size(tokens_col(text)), wl_ok_of)
     len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
-    stop = stopword_ratio(text)
-    stop_ok = F.when((stop >= 0.05) & (stop <= 0.7), F.lit(1.0)).otherwise(F.lit(0.0))
+
+    def stop_ok_of(stop):
+        return F.when(
+            (stop >= 0.05) & (stop <= 0.7), F.lit(1.0)
+        ).otherwise(F.lit(0.0))
+
+    stop_ok = let(stopword_ratio(text), stop_ok_of)
     return (
         F.lit(0.3) * len_score
         + F.lit(0.3) * alpha_ratio

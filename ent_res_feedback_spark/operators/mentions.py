@@ -41,13 +41,25 @@ def _text_spans(spans: Column) -> Column:
 
 def _strip_honorifics(tokens: Column, rounds: int = 2) -> Column:
     """Drop up to ``rounds`` leading honorific tokens while more than one
-    token remains (reference normalizes prefixes via NAME_PREFIXES)."""
+    token remains (reference normalizes prefixes via NAME_PREFIXES).
+
+    Each round's input is let-bound (``expr.let``): the strip ``when``
+    references its input 4x, so the unbound form re-evaluated the
+    upstream split+normalize chain ~4^rounds times per row — with two
+    rounds, ~16 copies of the regexp normalization in one expression
+    tree. Bound, each round evaluates its input once (values
+    unchanged)."""
+    from ent_res_feedback_spark.functions.expr import let
+
+    def strip_once(ts: Column) -> Column:
+        return F.when(
+            (F.size(ts) > 1) & F.element_at(ts, 1).isin(*sorted(NAME_PREFIXES)),
+            F.slice(ts, 2, F.size(ts) - 1),
+        ).otherwise(ts)
+
     out = tokens
     for _ in range(rounds):
-        out = F.when(
-            (F.size(out) > 1) & F.element_at(out, 1).isin(*sorted(NAME_PREFIXES)),
-            F.slice(out, 2, F.size(out) - 1),
-        ).otherwise(out)
+        out = let(out, strip_once)
     return out
 
 

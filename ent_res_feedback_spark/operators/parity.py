@@ -124,23 +124,36 @@ def preprocess_signatures(
     middle_n = normalize_text(ai["middle"])
 
     def split_first_middle(first_col):
-        joined = F.concat_ws(" ", first_col, middle_n)
-        toks = F.filter(F.split(joined, " "), lambda t: F.length(t) > 0)
-        # strip ONE leading honorific (reference data.py:565-571)
-        toks = F.when(
-            (F.size(toks) > 0)
-            & F.element_at(toks, 1).isin(*sorted(NAME_PREFIXES)),
-            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-        ).otherwise(toks)
-        first = F.when(F.size(toks) > 0, F.element_at(toks, 1)).otherwise(F.lit(""))
-        middle = F.when(
-            F.size(toks) > 1,
-            F.concat_ws(" ", F.slice(toks, 2, F.size(toks) - 1)),
-        ).otherwise(F.lit(""))
-        return first, middle
+        """(first, middle) as ONE struct: the token array is referenced
+        ~9x across the strip/first/middle expressions, so every layer is
+        let-bound (``expr.let``) — the unbound form re-ran the
+        split+normalize chain ~20x per row per variant (round-6; values
+        unchanged). Projected as a struct then flattened from the
+        attribute so the whole thing evaluates once."""
+        from ent_res_feedback_spark.functions.expr import let
 
-    first_norm, middle_norm = split_first_middle(first_n)
-    first_norm_na, middle_norm_na = split_first_middle(first_na)
+        joined = F.concat_ws(" ", first_col, middle_n)
+        raw = F.filter(F.split(joined, " "), lambda t: F.length(t) > 0)
+
+        # strip ONE leading honorific (reference data.py:565-571)
+        def stripped_of(toks):
+            return F.when(
+                (F.size(toks) > 0)
+                & F.element_at(toks, 1).isin(*sorted(NAME_PREFIXES)),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            ).otherwise(toks)
+
+        def parts_of(toks):
+            first = F.when(
+                F.size(toks) > 0, F.element_at(toks, 1)
+            ).otherwise(F.lit(""))
+            middle = F.when(
+                F.size(toks) > 1,
+                F.concat_ws(" ", F.slice(toks, 2, F.size(toks) - 1)),
+            ).otherwise(F.lit(""))
+            return F.struct(first.alias("first"), middle.alias("middle"))
+
+        return let(let(raw, stripped_of), parts_of)
 
     sig = signatures.select(
         "signature_id",
@@ -148,12 +161,22 @@ def preprocess_signatures(
         ai["position"].alias("position"),
         ai["email"].alias("email"),
         ai["affiliations"].alias("affiliations_raw"),
-        first_norm.alias("first_norm"),
-        first_norm_na.alias("first_norm_na"),
-        middle_norm.alias("middle_norm"),
-        middle_norm_na.alias("middle_norm_na"),
+        split_first_middle(first_n).alias("_fm"),
+        split_first_middle(first_na).alias("_fm_na"),
         normalize_text(ai["last"]).alias("last_norm"),
         normalize_text(ai["suffix"]).alias("suffix_norm"),
+    ).select(
+        "signature_id",
+        "paper_id",
+        "position",
+        "email",
+        "affiliations_raw",
+        F.col("_fm")["first"].alias("first_norm"),
+        F.col("_fm_na")["first"].alias("first_norm_na"),
+        F.col("_fm")["middle"].alias("middle_norm"),
+        F.col("_fm_na")["middle"].alias("middle_norm_na"),
+        "last_norm",
+        "suffix_norm",
     )
 
     # coauthors: other authors on the same paper (data.py:573-592)
@@ -356,12 +379,28 @@ def preprocess_papers(
 
 
 def _counts_map(arr):
-    """array<string> -> map<string,int> with multiplicities (Counter)."""
-    distinct = F.array_distinct(arr)
-    return F.map_from_arrays(
-        distinct,
-        F.transform(distinct, lambda d: F.size(F.filter(arr, lambda x: x == d))),
-    )
+    """array<string> -> map<string,int> with multiplicities (Counter).
+
+    Both the input array and its distinct view are let-bound
+    (``expr.let``): the per-distinct-element count filters the full
+    array, so an unbound input (here: a compute_block_key transform,
+    i.e. a normalize chain per element) was re-normalized once per
+    distinct value — O(d * n) regexp passes per row (round-6; values
+    unchanged)."""
+    from ent_res_feedback_spark.functions.expr import let
+
+    def of_arr(a):
+        def of_distinct(d):
+            return F.map_from_arrays(
+                d,
+                F.transform(
+                    d, lambda x: F.size(F.filter(a, lambda y: y == x))
+                ),
+            )
+
+        return let(F.array_distinct(a), of_distinct)
+
+    return let(arr, of_arr)
 
 
 # ---------------------------------------------------------------------------
